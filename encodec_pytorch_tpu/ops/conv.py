@@ -1,0 +1,257 @@
+"""Normalized 1-D/2-D convolutions with streamable (causal/asymmetric) padding.
+
+TPU-first rebuild of /root/reference/modules/conv.py:
+- Layout is NTC / NHWC (channels-last) — the layout XLA:TPU tiles onto the
+  MXU — instead of torch's NCT/NCHW.
+- ``weight_norm`` is an explicit parametrization (params ``v`` and ``g``,
+  kernel = g * v / ||v||) applied at parameter level, matching torch
+  ``nn.utils.weight_norm(dim=0)`` semantics so released torch checkpoints
+  convert numerically (conv.py:25-34).
+- Padding amounts are compile-time constants derived from static shapes
+  (conv.py:195-210, 230-252), so everything jits with static shapes.
+
+Supported norms (CONV_NORMALIZATIONS at conv.py:21): ``none``,
+``weight_norm``, ``time_group_norm``, ``layer_norm``. (``spectral_norm`` and
+``time_layer_norm`` are accepted names in the reference but unused by any
+shipped config; we raise if requested.)
+"""
+
+import math
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .pad import get_extra_padding_for_conv1d, pad1d, unpad1d
+
+
+def _uniform_init(bound: float):
+    """torch-style symmetric uniform init U(-bound, bound)."""
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+    return init
+
+CONV_NORMALIZATIONS = frozenset(['none', 'weight_norm', 'spectral_norm',
+                                 'time_layer_norm', 'layer_norm', 'time_group_norm'])
+
+
+def _weight_norm_kernel(v: jnp.ndarray, g: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """kernel = g * v / ||v||, norm taken over all axes except ``axis``.
+
+    ``axis`` indexes the dimension kept per-norm (torch weight_norm dim=0 ==
+    out_channels for Conv, in_channels for ConvTranspose).
+    """
+    reduce_axes = tuple(i for i in range(v.ndim) if i != axis)
+    norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=reduce_axes, keepdims=True))
+    return g * v / norm
+
+
+class NormConv1d(nn.Module):
+    """Conv1d + normalization with a uniform interface (conv.py:108-122).
+
+    Input/output layout: ``[B, T, C]``. The conv itself is VALID — callers
+    (``SConv1d``) do the padding.
+    """
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    causal: bool = False
+    norm: str = 'none'
+    norm_kwargs: Dict[str, Any] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.norm in CONV_NORMALIZATIONS
+        kshape = (self.kernel_size, self.in_channels // self.groups, self.out_channels)
+        fan_in = self.in_channels // self.groups * self.kernel_size
+        bound = 1.0 / math.sqrt(fan_in)
+        kernel_init = _uniform_init(bound)
+
+        if self.norm == 'weight_norm':
+            v = self.param('v', kernel_init, kshape, jnp.float32)
+            g = self.param('g', lambda key, shape: jnp.linalg.norm(
+                v.reshape(-1, v.shape[-1]), axis=0).reshape(shape),
+                (1, 1, self.out_channels))
+            kernel = _weight_norm_kernel(v, g, axis=2)
+        elif self.norm in ('none', 'time_group_norm', 'layer_norm'):
+            kernel = self.param('kernel', kernel_init, kshape, jnp.float32)
+        else:
+            raise NotImplementedError(
+                f"norm '{self.norm}' is not used by any shipped EnCodec config")
+
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(self.stride,), padding='VALID',
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=('NWC', 'WIO', 'NWC'),
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.float32)
+        if self.use_bias:
+            bias = self.param('bias', _uniform_init(bound),
+                              (self.out_channels,), jnp.float32)
+            y = y + bias
+        if self.norm == 'time_group_norm':
+            if self.causal:
+                raise ValueError("GroupNorm doesn't support causal evaluation.")
+            y = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=jnp.float32)(y)
+        elif self.norm == 'layer_norm':
+            # channels-last LayerNorm over C only (fixes the reference's
+            # ConvLayerNorm returning None, norm.py:28)
+            y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(y)
+        return y
+
+
+class NormConv2d(nn.Module):
+    """Conv2d + normalization (conv.py:125-139). Layout ``[B, H, W, C]``."""
+    in_channels: int
+    out_channels: int
+    kernel_size: Tuple[int, int]
+    stride: Tuple[int, int] = (1, 1)
+    dilation: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    norm: str = 'none'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.norm in CONV_NORMALIZATIONS
+        kh, kw = self.kernel_size
+        kshape = (kh, kw, self.in_channels, self.out_channels)
+        fan_in = self.in_channels * kh * kw
+        bound = 1.0 / math.sqrt(fan_in)
+        kernel_init = _uniform_init(bound)
+        if self.norm == 'weight_norm':
+            v = self.param('v', kernel_init, kshape, jnp.float32)
+            g = self.param('g', lambda key, shape: jnp.linalg.norm(
+                v.reshape(-1, v.shape[-1]), axis=0).reshape(shape),
+                (1, 1, 1, self.out_channels))
+            kernel = _weight_norm_kernel(v, g, axis=3)
+        elif self.norm in ('none', 'time_group_norm', 'layer_norm'):
+            kernel = self.param('kernel', kernel_init, kshape, jnp.float32)
+        else:
+            raise NotImplementedError(f"norm '{self.norm}' unsupported")
+
+        ph, pw = self.padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=self.stride, padding=((ph, ph), (pw, pw)),
+            rhs_dilation=self.dilation,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=jnp.float32)
+        if self.use_bias:
+            bias = self.param('bias', _uniform_init(bound),
+                              (self.out_channels,), jnp.float32)
+            y = y + bias
+        if self.norm == 'time_group_norm':
+            y = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=jnp.float32)(y)
+        return y
+
+
+class SConv1d(nn.Module):
+    """Conv1d with built-in causal or asymmetric streamable padding
+    (conv.py:175-210).
+
+    ``padding_total = (K-1)*d - (s-1)``; extra end padding keeps the last
+    window full so decode can restore exactly ``ceil(T/stride)`` frames.
+    """
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    causal: bool = False
+    norm: str = 'none'
+    norm_kwargs: Dict[str, Any] = None
+    pad_mode: str = 'reflect'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        length = x.shape[1]
+        padding_total = (self.kernel_size - 1) * self.dilation - (self.stride - 1)
+        extra_padding = get_extra_padding_for_conv1d(
+            length, self.kernel_size, self.stride, padding_total)
+        if self.causal:
+            x = pad1d(x, (padding_total, extra_padding), mode=self.pad_mode)
+        else:
+            padding_right = padding_total // 2
+            padding_left = padding_total - padding_right
+            x = pad1d(x, (padding_left, padding_right + extra_padding),
+                      mode=self.pad_mode)
+        return NormConv1d(self.in_channels, self.out_channels, self.kernel_size,
+                          stride=self.stride, dilation=self.dilation,
+                          groups=self.groups, use_bias=self.use_bias,
+                          causal=self.causal, norm=self.norm, dtype=self.dtype,
+                          name='conv')(x)
+
+
+class SConvTranspose1d(nn.Module):
+    """ConvTranspose1d trimming ``padding_total = K - s`` after the op
+    (conv.py:213-252). Causal mode trims ``ceil(pt * trim_right_ratio)`` from
+    the right; non-causal splits asymmetrically.
+
+    Weight-norm parity: torch normalizes ConvTranspose weights per *input*
+    channel (weight_norm dim=0 on a ``[in, out, k]`` weight); we store
+    ``v: [k, out, in]`` and keep the norm over ``(k, out)``.
+    """
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    use_bias: bool = True
+    causal: bool = False
+    norm: str = 'none'
+    trim_right_ratio: float = 1.
+    norm_kwargs: Dict[str, Any] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.causal or self.trim_right_ratio == 1., \
+            "`trim_right_ratio` != 1.0 only makes sense for causal convolutions"
+        assert self.norm in CONV_NORMALIZATIONS
+        kshape = (self.kernel_size, self.out_channels, self.in_channels)
+        fan_in = self.out_channels * self.kernel_size  # torch convT fan-in rule
+        bound = 1.0 / math.sqrt(fan_in)
+        kernel_init = _uniform_init(bound)
+        if self.norm == 'weight_norm':
+            v = self.param('v', kernel_init, kshape, jnp.float32)
+            g = self.param('g', lambda key, shape: jnp.linalg.norm(
+                v.reshape(-1, v.shape[-1]), axis=0).reshape(shape),
+                (1, 1, self.in_channels))
+            kernel = _weight_norm_kernel(v, g, axis=2)
+        elif self.norm in ('none', 'time_group_norm', 'layer_norm'):
+            kernel = self.param('kernel', kernel_init, kshape, jnp.float32)
+        else:
+            raise NotImplementedError(f"norm '{self.norm}' unsupported")
+
+        y = jax.lax.conv_transpose(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            strides=(self.stride,), padding='VALID',
+            dimension_numbers=('NWC', 'WIO', 'NWC'),
+            transpose_kernel=True)
+        y = y.astype(jnp.float32)
+        if self.use_bias:
+            bias = self.param('bias', _uniform_init(bound),
+                              (self.out_channels,), jnp.float32)
+            y = y + bias
+        if self.norm == 'time_group_norm':
+            y = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=jnp.float32)(y)
+
+        padding_total = self.kernel_size - self.stride
+        if self.causal:
+            padding_right = math.ceil(padding_total * self.trim_right_ratio)
+            padding_left = padding_total - padding_right
+        else:
+            padding_right = padding_total // 2
+            padding_left = padding_total - padding_right
+        return unpad1d(y, (padding_left, padding_right))

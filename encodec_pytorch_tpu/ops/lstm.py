@@ -1,0 +1,78 @@
+"""LSTM bottleneck as a `lax.scan` over time.
+
+TPU-first rebuild of /root/reference/modules/lstm.py (SLSTM, 2 layers with a
+residual skip). Instead of translating cuDNN LSTM, the input projection
+``x @ W_ih`` for ALL timesteps is hoisted out of the recurrence into one big
+MXU matmul; the scan carries only ``(h, c)`` and does the ``h @ W_hh``
+recurrent matmul. Gate order follows torch (i, f, g, o) so torch checkpoints
+convert directly (``weight_ih_l{k}: [4H, in]`` → ``w_ih: [in, 4H]``).
+
+Layout: ``[B, T, C]`` in and out (the reference permutes NCT→TNC and back,
+lstm.py:23-27; we stay channels-last throughout).
+"""
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _lstm_layer(x, w_ih, w_hh, b, dtype):
+    """One LSTM layer over ``x: [B, T, C]``. Returns ``[B, T, H]``.
+
+    ``w_ih: [C, 4H]``, ``w_hh: [H, 4H]``, ``b: [4H]`` (sum of torch's
+    ``bias_ih + bias_hh``). Gates in torch order i, f, g, o.
+    """
+    B, T, C = x.shape
+    H = w_hh.shape[0]
+    # Hoist the input projection out of the scan: one [B*T, C] @ [C, 4H]
+    # matmul that XLA tiles onto the MXU.
+    x_proj = jnp.dot(x.astype(dtype), w_ih.astype(dtype),
+                     preferred_element_type=jnp.float32) + b
+
+    def step(carry, xp_t):
+        h, c = carry
+        gates = xp_t + jnp.dot(h.astype(dtype), w_hh.astype(dtype),
+                               preferred_element_type=jnp.float32)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    h0 = jnp.zeros((B, H), jnp.float32)
+    c0 = jnp.zeros((B, H), jnp.float32)
+    # scan over time: x_proj [B, T, 4H] -> [T, B, 4H]
+    (_, _), ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(x_proj, 0, 1))
+    return jnp.swapaxes(ys, 0, 1)
+
+
+class SLSTM(nn.Module):
+    """Multi-layer LSTM with residual skip (lstm.py:12-28)."""
+    dimension: int
+    num_layers: int = 2
+    skip: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = x
+        H = self.dimension
+        for layer in range(self.num_layers):
+            in_dim = y.shape[-1]
+            bound = 1.0 / (H ** 0.5)
+
+            def init(key, shape, dtype=jnp.float32, _b=bound):
+                return jax.random.uniform(key, shape, dtype, minval=-_b, maxval=_b)
+
+            w_ih = self.param(f'w_ih_l{layer}', init, (in_dim, 4 * H), jnp.float32)
+            w_hh = self.param(f'w_hh_l{layer}', init, (H, 4 * H), jnp.float32)
+            b = self.param(f'b_l{layer}', init, (4 * H,), jnp.float32)
+            y = _lstm_layer(y, w_ih, w_hh, b, self.dtype)
+        if self.skip:
+            y = y + x
+        return y
