@@ -68,6 +68,99 @@ def lstm_layer(weight_ih: np.ndarray, weight_hh: np.ndarray,
             bias_ih + bias_hh)
 
 
+# ------------------------------------------------------------- module trees
+
+def _set_path(tree: Dict[str, Any], path, leaf):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = leaf
+
+
+def seanet_params_from_torch(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Convert a torch SEANetEncoder/Decoder ``state_dict`` (keys starting at
+    ``model.{i}...``) into the flax param tree of our SEANetEncoder/Decoder.
+
+    Handles SConv1d (``conv.conv.*``), SConvTranspose1d (``convtr.convtr.*``),
+    GroupNorm wrappers (``conv.norm.*`` / ``convtr.norm.*``), resnet blocks
+    (``block.{k}.*`` / ``shortcut.*``) and SLSTM (``lstm.weight_*_l{j}``).
+    """
+    params: Dict[str, Any] = {}
+    lstm_parts: Dict[tuple, Dict[str, np.ndarray]] = {}
+
+    for key, val in sd.items():
+        v = np.asarray(val)
+        toks = key.split('.')
+        assert toks[0] == 'model', key
+        path = [f'layer_{toks[1]}']
+        toks = toks[2:]
+        # resnet block internals
+        while toks and toks[0] in ('block', 'shortcut'):
+            if toks[0] == 'block':
+                path.append(f'block_{toks[1]}')
+                toks = toks[2:]
+            else:
+                path.append('shortcut')
+                toks = toks[1:]
+        if not toks:
+            raise ValueError(f'unparsed key {key}')
+        head = toks[0]
+        if head == 'conv':
+            # SConv1d -> NormConv1d child named 'conv'
+            assert toks[1] in ('conv', 'norm'), key
+            if toks[1] == 'conv':
+                leaf = toks[2]
+                if leaf == 'weight_v':
+                    _set_path(params, path + ['conv', 'v'], conv1d_weight(v))
+                elif leaf == 'weight_g':
+                    _set_path(params, path + ['conv', 'g'], v.reshape(1, 1, -1))
+                elif leaf == 'weight':
+                    _set_path(params, path + ['conv', 'kernel'], conv1d_weight(v))
+                elif leaf == 'bias':
+                    _set_path(params, path + ['conv', 'bias'], v)
+                else:
+                    raise ValueError(f'unparsed key {key}')
+            else:  # norm (GroupNorm)
+                leaf = {'weight': 'scale', 'bias': 'bias'}[toks[2]]
+                _set_path(params, path + ['conv', 'GroupNorm_0', leaf], v)
+        elif head == 'convtr':
+            assert toks[1] in ('convtr', 'norm'), key
+            if toks[1] == 'convtr':
+                leaf = toks[2]
+                if leaf == 'weight_v':
+                    _set_path(params, path + ['v'], convtr1d_weight(v))
+                elif leaf == 'weight_g':
+                    _set_path(params, path + ['g'], v.reshape(1, 1, -1))
+                elif leaf == 'weight':
+                    _set_path(params, path + ['kernel'], convtr1d_weight(v))
+                elif leaf == 'bias':
+                    _set_path(params, path + ['bias'], v)
+                else:
+                    raise ValueError(f'unparsed key {key}')
+            else:
+                leaf = {'weight': 'scale', 'bias': 'bias'}[toks[2]]
+                _set_path(params, path + ['GroupNorm_0', leaf], v)
+        elif head == 'lstm':
+            # collect, combine biases at the end
+            name = toks[1]  # e.g. weight_ih_l0
+            lstm_parts.setdefault(tuple(path), {})[name] = v
+        else:
+            raise ValueError(f'unparsed key {key}')
+
+    for path, parts in lstm_parts.items():
+        layer = 0
+        while f'weight_ih_l{layer}' in parts:
+            w_ih, w_hh, b = lstm_layer(parts[f'weight_ih_l{layer}'],
+                                       parts[f'weight_hh_l{layer}'],
+                                       parts[f'bias_ih_l{layer}'],
+                                       parts[f'bias_hh_l{layer}'])
+            _set_path(params, list(path) + [f'w_ih_l{layer}'], w_ih)
+            _set_path(params, list(path) + [f'w_hh_l{layer}'], w_hh)
+            _set_path(params, list(path) + [f'b_l{layer}'], b)
+            layer += 1
+    return params
+
+
 def remap_local_checkpoint_keys(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     """Local training checkpoints use ``quantizer.model``; released ones use
     ``quantizer.vq`` (reference model.py:347)."""
