@@ -161,6 +161,24 @@ def seanet_params_from_torch(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return params
 
 
+def rvq_state_from_torch(sd: Dict[str, np.ndarray], n_q: int):
+    """Convert torch RVQ buffers (``layers.{k}._codebook.{inited,cluster_size,
+    embed,embed_avg}``) into stacked CodebookState arrays.
+
+    Returns a dict with keys inited/cluster_size/embed/embed_avg (stacked over
+    stages); wrap with ``CodebookState(**out)``.
+    """
+    def get(k, name):
+        return np.asarray(sd[f'layers.{k}._codebook.{name}'])
+
+    return dict(
+        inited=np.stack([get(k, 'inited').reshape(()) for k in range(n_q)]).astype(np.float32),
+        cluster_size=np.stack([get(k, 'cluster_size') for k in range(n_q)]),
+        embed=np.stack([get(k, 'embed') for k in range(n_q)]),
+        embed_avg=np.stack([get(k, 'embed_avg') for k in range(n_q)]),
+    )
+
+
 def remap_local_checkpoint_keys(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     """Local training checkpoints use ``quantizer.model``; released ones use
     ``quantizer.vq`` (reference model.py:347)."""
