@@ -11,3 +11,4 @@ from .model import (  # noqa: F401
     my_encodec_model,
     variables_from_torch_state_dict,
 )
+from .msstftd import MultiScaleSTFTDiscriminator, DiscriminatorSTFT  # noqa: F401

@@ -1,0 +1,129 @@
+"""Batched STFT + log-mel front-end on XLA FFTs.
+
+Rebuild of /root/reference/audio_to_mel.py and the spectrogram used by the
+MS-STFT discriminator (msstftd.py:62-64). Framing is a gather with static
+indices + one batched ``jnp.fft.rfft`` — XLA lowers this to its native FFT on
+TPU; the mel projection is a single matmul.
+
+The mel filterbank reimplements librosa's slaney-scale ``filters.mel``
+(htk=False, norm='slaney') in numpy so the loss spectra match the reference
+(audio_to_mel.py:24 uses librosa's default arguments).
+
+The torch-CUDA device hardcoding of the reference (audio_to_mel.py:17-25,
+losses.py:31-34) has no analogue here — everything is pure functions.
+"""
+
+from functools import lru_cache
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+# ----------------------------------------------------------- mel filterbank
+
+def _hz_to_mel(freq: np.ndarray) -> np.ndarray:
+    """Slaney mel scale (librosa htk=False)."""
+    freq = np.asarray(freq, dtype=np.float64)
+    f_min, f_sp = 0.0, 200.0 / 3
+    mels = (freq - f_min) / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_t = freq >= min_log_hz
+    mels = np.where(log_t, min_log_mel + np.log(np.maximum(freq, 1e-10) / min_log_hz) / logstep, mels)
+    return mels
+
+
+def _mel_to_hz(mels: np.ndarray) -> np.ndarray:
+    mels = np.asarray(mels, dtype=np.float64)
+    f_min, f_sp = 0.0, 200.0 / 3
+    freqs = f_min + f_sp * mels
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_t = mels >= min_log_mel
+    return np.where(log_t, min_log_hz * np.exp(logstep * (mels - min_log_mel)), freqs)
+
+
+@lru_cache(maxsize=None)
+def mel_filterbank(sr: int, n_fft: int, n_mels: int = 128, fmin: float = 0.0,
+                   fmax: Optional[float] = None) -> np.ndarray:
+    """Slaney-normalized triangular mel filterbank ``[n_mels, 1 + n_fft//2]``."""
+    if fmax is None:
+        fmax = float(sr) / 2
+    fftfreqs = np.linspace(0, float(sr) / 2, 1 + n_fft // 2)
+    mel_pts = np.linspace(_hz_to_mel(np.array(fmin)), _hz_to_mel(np.array(fmax)),
+                          n_mels + 2)
+    mel_f = _mel_to_hz(mel_pts)
+
+    fdiff = np.diff(mel_f)
+    ramps = mel_f[:, None] - fftfreqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1][:, None]
+    upper = ramps[2:] / fdiff[1:][:, None]
+    weights = np.maximum(0, np.minimum(lower, upper))
+
+    enorm = 2.0 / (mel_f[2: n_mels + 2] - mel_f[:n_mels])
+    weights *= enorm[:, None]
+    return weights.astype(np.float32)
+
+
+# -------------------------------------------------------------------- stft
+
+def hann_window(win_length: int) -> np.ndarray:
+    """torch.hann_window (periodic): 0.5 - 0.5 cos(2πn/N)."""
+    n = np.arange(win_length, dtype=np.float64)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(np.float32)
+
+
+def frame_signal(x: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
+    """x ``[..., T]`` → frames ``[..., n_frames, n_fft]`` (center=False)."""
+    T = x.shape[-1]
+    n_frames = 1 + (T - n_fft) // hop_length
+    idx = (np.arange(n_frames)[:, None] * hop_length
+           + np.arange(n_fft)[None, :])
+    return x[..., idx]
+
+
+def stft(x: jnp.ndarray, n_fft: int, hop_length: int,
+         win_length: Optional[int] = None, window: Optional[jnp.ndarray] = None,
+         normalized: bool = False) -> jnp.ndarray:
+    """Complex STFT of ``x [..., T]`` → ``[..., F, n_frames]``.
+
+    Matches ``torch.stft(center=False)`` / torchaudio ``Spectrogram(center=
+    False, pad_mode=None, power=None)``; ``normalized=True`` divides by the
+    window's L2 norm (torchaudio's ``normalized='window'``).
+    """
+    win_length = win_length or n_fft
+    if window is None:
+        window = jnp.asarray(hann_window(win_length))
+    frames = frame_signal(x, n_fft, hop_length) * window
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)      # [..., n_frames, F]
+    if normalized:
+        spec = spec / jnp.sqrt(jnp.sum(jnp.square(window)))
+    return jnp.swapaxes(spec, -1, -2)                   # [..., F, n_frames]
+
+
+def audio_to_mel(x: jnp.ndarray, n_fft: int, hop_length: int, win_length: int,
+                 sampling_rate: int, n_mel_channels: int,
+                 mel_fmin: float = 0.0, mel_fmax: Optional[float] = None) -> jnp.ndarray:
+    """Log10-mel spectrogram (reference Audio2Mel, audio_to_mel.py:34-55).
+
+    x: ``[B, C, T]`` or ``[B, T]`` → ``[B(, C), n_mels, n_frames]`` with
+    reflect padding of (n_fft - hop)/2 on both sides, power spectrum, mel
+    projection, ``log10(clamp(·, 1e-5))``.
+    """
+    shape = x.shape
+    if x.ndim > 2:
+        x = x.reshape(shape[0] * shape[1], -1)
+    p = (n_fft - hop_length) // 2
+    x = jnp.pad(x, ((0, 0), (p, p)), mode='reflect')
+    spec = stft(x, n_fft, hop_length, win_length)       # [B*, F, frames]
+    power = jnp.square(spec.real) + jnp.square(spec.imag)
+    basis = jnp.asarray(mel_filterbank(sampling_rate, n_fft, n_mel_channels,
+                                       mel_fmin, mel_fmax))
+    mel = jnp.einsum('mf,bft->bmt', basis, power)
+    log_mel = jnp.log10(jnp.clip(mel, min=1e-5))
+    if len(shape) > 2:
+        log_mel = log_mel.reshape(shape[0], shape[1], n_mel_channels, -1)
+    return log_mel

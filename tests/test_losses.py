@@ -1,0 +1,147 @@
+"""STFT/mel front-end, generator/disc losses, balancer algebra, schedules."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from encodec_pytorch_tpu.ops.stft import (
+    audio_to_mel, hann_window, mel_filterbank, stft)
+from encodec_pytorch_tpu.train.balancer import Balancer
+from encodec_pytorch_tpu.train.losses import disc_loss, total_loss
+from encodec_pytorch_tpu.train.schedule import warmup_cosine_schedule
+
+
+def test_stft_matches_torch():
+    torch.manual_seed(0)
+    for n_fft, hop in [(1024, 256), (512, 128), (32, 8)]:
+        xt = torch.randn(3, n_fft * 4)
+        win = torch.hann_window(n_fft)
+        ref = torch.stft(xt, n_fft=n_fft, hop_length=hop, win_length=n_fft,
+                         window=win, center=False, return_complex=True).numpy()
+        ours = np.asarray(stft(jnp.asarray(xt.numpy()), n_fft, hop, n_fft))
+        np.testing.assert_allclose(ours.real, ref.real, atol=1e-3, rtol=1e-4)
+        np.testing.assert_allclose(ours.imag, ref.imag, atol=1e-3, rtol=1e-4)
+
+
+def test_stft_normalized_matches_torchaudio_semantics():
+    # torchaudio Spectrogram(normalized=True) divides by window L2 norm
+    torch.manual_seed(1)
+    n_fft, hop = 256, 64
+    xt = torch.randn(2, 1024)
+    win = torch.hann_window(n_fft)
+    ref = torch.stft(xt, n_fft=n_fft, hop_length=hop, window=win,
+                     center=False, return_complex=True)
+    ref = (ref / win.pow(2).sum().sqrt()).numpy()
+    ours = np.asarray(stft(jnp.asarray(xt.numpy()), n_fft, hop, n_fft,
+                           normalized=True))
+    np.testing.assert_allclose(ours.real, ref.real, atol=1e-4, rtol=1e-4)
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(24000, 1024, 64)
+    assert fb.shape == (64, 513)
+    assert (fb >= 0).all()
+    # every filter has support, filters tile the spectrum
+    assert (fb.sum(axis=1) > 0).all()
+    # slaney normalization: equal-area triangles → peak decreases with width
+    peaks = fb.argmax(axis=1)
+    assert (np.diff(peaks) > 0).all()  # monotonically increasing centers
+
+
+def test_audio_to_mel_matches_reference_composition():
+    """Cross-check against a torch composition that mirrors reference
+    audio_to_mel.py:34-55 exactly (reflect pad, center=False stft, power sum,
+    matmul, log10-clamp), using our own mel basis on both sides."""
+    torch.manual_seed(2)
+    n_fft, hop, sr, n_mels = 256, 64, 24000, 64
+    xt = torch.randn(2, 1, 2048)
+    basis = torch.from_numpy(mel_filterbank(sr, n_fft, n_mels))
+    p = (n_fft - hop) // 2
+    x2 = xt.reshape(2, -1)
+    audio = torch.nn.functional.pad(x2, (p, p), "reflect")
+    fft = torch.stft(audio, n_fft=n_fft, hop_length=hop, win_length=n_fft,
+                     window=torch.hann_window(n_fft), center=False,
+                     return_complex=False)
+    mel_ref = torch.matmul(basis, torch.sum(torch.pow(fft, 2), dim=[-1]))
+    ref = torch.log10(torch.clamp(mel_ref, min=1e-5)).numpy()
+
+    ours = np.asarray(audio_to_mel(jnp.asarray(xt.numpy()), n_fft, hop, n_fft,
+                                   sr, n_mels))
+    np.testing.assert_allclose(ours.reshape(ref.shape), ref, atol=1e-3, rtol=1e-3)
+
+
+def test_total_and_disc_loss_values():
+    # hand-checkable fixture: two "discriminators", constant logits/fmaps
+    x = jnp.ones((2, 1, 2048)) * 0.1
+    y = jnp.zeros((2, 1, 2048))
+    logits_fake = [jnp.full((2, 4, 4, 1), -1.0), jnp.full((2, 4, 4, 1), 0.5)]
+    logits_real = [jnp.full((2, 4, 4, 1), 2.0), jnp.full((2, 4, 4, 1), -0.5)]
+    fmap_real = [[jnp.full((2, 3, 3, 1), 1.0)] * 2 for _ in range(2)]
+    fmap_fake = [[jnp.full((2, 3, 3, 1), 0.5)] * 2 for _ in range(2)]
+
+    losses = total_loss(fmap_real, logits_fake, fmap_fake, x, y,
+                        sample_rate=24000)
+    np.testing.assert_allclose(float(losses['l_t']), 0.1, atol=1e-6)
+    # l_g: (relu(1-(-1)) + relu(1-0.5)) / K / K = (2 + 0.5)/2/2
+    np.testing.assert_allclose(float(losses['l_g']), 2.5 / 4, atol=1e-6)
+    # l_feat: per (k,l): |1-0.5|/|1| = 0.5 → sum 4·0.5 / (K·L=4) = 0.5
+    np.testing.assert_allclose(float(losses['l_feat']), 0.5, atol=1e-6)
+    assert float(losses['l_f']) > 0
+
+    # disc: (relu(1-2)+relu(1+(-1)) + relu(1+0.5)+relu(1+0.5))/2
+    d = disc_loss(logits_real, logits_fake)
+    np.testing.assert_allclose(float(d), (0 + 0 + 1.5 + 1.5) / 2, atol=1e-6)
+
+
+def test_balancer_algebra():
+    """Port of the reference's own spec test (balancer.py:121-139)."""
+    x = jnp.zeros((1,))
+
+    def loss_1(x):
+        return jnp.mean(jnp.abs(x - 1))
+
+    def loss_2(x):
+        return 100 * jnp.mean(jnp.abs(x + 1))
+
+    grads = {'1': jax.grad(loss_1)(x), '2': jax.grad(loss_2)(x)}
+
+    balancer = Balancer(weights={'1': 1, '2': 1}, rescale_grads=False)
+    out_grad, _, _ = balancer(grads, balancer.init_state())
+    np.testing.assert_allclose(np.asarray(out_grad), [99.], atol=1e-5)
+
+    balancer = Balancer(weights={'1': 1, '2': 1}, rescale_grads=True)
+    out_grad, state, _ = balancer(grads, balancer.init_state())
+    np.testing.assert_allclose(np.asarray(out_grad), [0.], atol=1e-5)
+
+    # EMA state persists: feeding same grads keeps averages stable
+    out_grad2, _, _ = balancer(grads, state)
+    np.testing.assert_allclose(np.asarray(out_grad2), [0.], atol=1e-5)
+
+
+def test_balancer_rescale_targets_total_norm():
+    # with rescale, each loss grad is scaled to weight-share of total_norm
+    g = {'a': jnp.full((4, 10), 3.0), 'b': jnp.full((4, 10), 0.01)}
+    balancer = Balancer(weights={'a': 1, 'b': 1}, rescale_grads=True,
+                        total_norm=1.)
+    out, _, _ = balancer(g, balancer.init_state())
+    # each rescaled grad has per-item norm 0.5; directions equal → total 1.0
+    norm = float(jnp.sqrt(jnp.sum(jnp.square(out[0]))))
+    np.testing.assert_allclose(norm, 1.0, rtol=1e-4)
+
+
+def test_warmup_cosine_schedule_reference_values():
+    import math
+    sched = warmup_cosine_schedule(1.0, max_iter=1000, eta_ratio=0.1,
+                                   warmup_iter=100, warmup_ratio=1e-4)
+    # warmup: exp ramp from warmup_ratio to 1
+    np.testing.assert_allclose(float(sched(0)), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(50)), 1e-4 ** 0.5, rtol=1e-5)
+    # main: reference formula with total step (scheduler.py:131-132)
+    step = 500
+    expect = 0.1 + 0.9 * (1 + math.cos(math.pi * step / 900)) / 2
+    np.testing.assert_allclose(float(sched(step)), expect, rtol=1e-5)
+    # jit-traceable
+    np.testing.assert_allclose(float(jax.jit(sched)(jnp.int32(500))), expect,
+                               rtol=1e-5)
