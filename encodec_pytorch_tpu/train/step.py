@@ -1,0 +1,174 @@
+"""The jitted SPMD GAN training step.
+
+One compiled XLA program per step covering everything the reference does in
+train_one_step (train_multi_gpu.py:32-129): generator forward with random
+bandwidth, quantizer EMA update, the 4-loss balancer backward (as VJPs), two
+Adam updates with warmup-cosine LRs stepped per batch, and the
+probability-gated discriminator update under ``lax.cond``.
+
+Collective traffic that the reference does through NCCL (grad all-reduce via
+DDP hooks, bandwidth-index broadcast, disc coin-flip broadcast, balancer norm
+all-reduce — SURVEY.md §3.1) is either inserted automatically by GSPMD (grad
+psums, global norms over the sharded batch) or deleted outright (the
+broadcasts: every replica derives the same decision from the same per-step
+PRNG key inside the single program).
+"""
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.model import EncodecModel
+from ..models.msstftd import MultiScaleSTFTDiscriminator
+from .balancer import Balancer, BalancerState
+from .losses import disc_loss, total_loss
+
+
+class TrainState(NamedTuple):
+    params_g: Any            # generator (encoder+decoder) params
+    params_d: Any            # discriminator params
+    quantizer: Any           # CodebookState (RVQ EMA buffers)
+    opt_g: Any               # optax state, generator
+    opt_d: Any               # optax state, discriminator
+    balancer: BalancerState
+    step: jnp.ndarray        # global step (drives both LR schedules)
+
+
+def make_optimizers():
+    """Adam(betas=(0.5, 0.9)) for both models (train_multi_gpu.py:295-296).
+    LR is applied manually from the schedule so the *global* step drives both
+    schedules even though the disc only updates when its coin-flip fires
+    (reference steps both schedulers every batch, train_multi_gpu.py:128-129).
+    """
+    return optax.scale_by_adam(b1=0.5, b2=0.9, eps=1e-8)
+
+
+def init_train_state(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
+                     balancer: Balancer, key: jax.Array,
+                     example_length: int) -> TrainState:
+    k_model, k_disc = jax.random.split(key)
+    variables = model.init(k_model, example_length=example_length)
+    x = jnp.zeros((1, model.channels, example_length), jnp.float32)
+    params_d = disc.init(k_disc, x)['params']
+    opt = make_optimizers()
+    return TrainState(
+        params_g=variables['params'],
+        params_d=params_d,
+        quantizer=variables['quantizer'],
+        opt_g=opt.init(variables['params']),
+        opt_d=opt.init(params_d),
+        balancer=balancer.init_state(),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
+                     balancer: Balancer, gen_schedule, disc_schedule,
+                     disc_prob: float, sample_rate: int):
+    """Returns ``step_fn(state, batch, rng, disc_allowed) -> (state, metrics)``
+    (not yet jitted — the trainer jits it with shardings/donation)."""
+    opt = make_optimizers()
+
+    def step_fn(state: TrainState, batch: jnp.ndarray, rng: jax.Array,
+                disc_allowed: jnp.ndarray) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        rng_bw, rng_coin = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        # ---- generator forward with VJP wrt params
+        def gen_fwd(params_g):
+            variables = {'params': params_g, 'quantizer': state.quantizer}
+            output, loss_w, new_cb = model.forward_train(variables, batch, rng_bw)
+            return (output, loss_w), new_cb
+
+        (output, loss_w), gen_vjp, new_cb = jax.vjp(gen_fwd, state.params_g,
+                                                    has_aux=True)
+
+        # ---- per-loss gradients wrt the generator output (balancer VJPs)
+        logits_real, fmap_real = disc.apply({'params': state.params_d}, batch)
+
+        def losses_of(out):
+            logits_fake, fmap_fake = disc.apply({'params': state.params_d}, out)
+            return total_loss(fmap_real, logits_fake, fmap_fake, batch, out,
+                              sample_rate=sample_rate)
+
+        loss_vals, loss_vjp = jax.vjp(losses_of, output)
+        names = sorted(loss_vals.keys())
+        grads_per_loss = {}
+        for name in names:
+            cot = {k: (jnp.float32(1.0) if k == name else jnp.float32(0.0))
+                   for k in names}
+            grads_per_loss[name], = loss_vjp(cot)
+
+        out_grad, new_balancer, bal_metrics = balancer(grads_per_loss,
+                                                       state.balancer)
+
+        # ---- combined backward: balancer cotangent + loss_w (weight 1)
+        grads_g, = gen_vjp((out_grad, jnp.float32(1.0)))
+
+        lr_g = gen_schedule(state.step)
+        updates, new_opt_g = opt.update(grads_g, state.opt_g, state.params_g)
+        updates = jax.tree.map(lambda u: -lr_g * u, updates)
+        new_params_g = optax.apply_updates(state.params_g, updates)
+
+        # ---- discriminator update, probability-gated (train_multi_gpu.py:104-127)
+        coin = jax.random.uniform(rng_coin) < disc_prob
+        train_disc = jnp.logical_and(jnp.asarray(disc_allowed, bool), coin)
+        output_sg = jax.lax.stop_gradient(output)
+
+        def disc_update(_):
+            def d_loss_fn(params_d):
+                lr_, _ = disc.apply({'params': params_d}, batch)
+                lf_, _ = disc.apply({'params': params_d}, output_sg)
+                return disc_loss(lr_, lf_)
+
+            ld, grads_d = jax.value_and_grad(d_loss_fn)(state.params_d)
+            lr_d = disc_schedule(state.step)
+            upd, new_opt_d = opt.update(grads_d, state.opt_d, state.params_d)
+            upd = jax.tree.map(lambda u: -lr_d * u, upd)
+            return optax.apply_updates(state.params_d, upd), new_opt_d, ld
+
+        def disc_noop(_):
+            return state.params_d, state.opt_d, jnp.float32(0.0)
+
+        new_params_d, new_opt_d, ld = jax.lax.cond(train_disc, disc_update,
+                                                   disc_noop, operand=None)
+
+        # naive weighted sum for logging (train_multi_gpu.py:88)
+        loss_g = sum(balancer.weights[k] * loss_vals[k] for k in names)
+        metrics = {
+            'loss_g': loss_g,
+            'loss_w': loss_w,
+            'loss_disc': ld,
+            'disc_updated': train_disc.astype(jnp.float32),
+            'lr_g': lr_g,
+            'lr_d': disc_schedule(state.step),
+            **{k: v for k, v in loss_vals.items()},
+            **bal_metrics,
+        }
+        new_state = TrainState(
+            params_g=new_params_g, params_d=new_params_d, quantizer=new_cb,
+            opt_g=new_opt_g, opt_d=new_opt_d, balancer=new_balancer,
+            step=state.step + 1)
+        return new_state, metrics
+
+    return step_fn
+
+
+def build_eval_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
+                    balancer: Balancer, sample_rate: int):
+    """Eval step mirroring the reference test() (train_multi_gpu.py:144-161):
+    eval forward (encode→decode), generator losses + disc loss, no updates."""
+
+    def eval_fn(state: TrainState, batch: jnp.ndarray):
+        variables = {'params': state.params_g, 'quantizer': state.quantizer}
+        frames = model.encode(variables, batch)
+        output = model.decode(variables, frames)[:, :, :batch.shape[-1]]
+        logits_real, fmap_real = disc.apply({'params': state.params_d}, batch)
+        logits_fake, fmap_fake = disc.apply({'params': state.params_d}, output)
+        losses_g = total_loss(fmap_real, logits_fake, fmap_fake, batch, output,
+                              sample_rate=sample_rate)
+        ld = disc_loss(logits_real, logits_fake)
+        return {**losses_g, 'loss_disc': ld}
+
+    return eval_fn

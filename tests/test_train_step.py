@@ -1,0 +1,88 @@
+"""Jitted GAN train step: runs, updates params, gates the disc update, and
+compiles/executes sharded over the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from encodec_pytorch_tpu.models.model import EncodecModel
+from encodec_pytorch_tpu.models.msstftd import MultiScaleSTFTDiscriminator
+from encodec_pytorch_tpu.parallel.mesh import (
+    batch_sharding, create_mesh, replicated_sharding, shard_batch)
+from encodec_pytorch_tpu.train.balancer import Balancer
+from encodec_pytorch_tpu.train.schedule import warmup_cosine_schedule
+from encodec_pytorch_tpu.train.step import (
+    TrainState, build_train_step, init_train_state)
+
+
+def _tiny_setup(n_q=2, length=1200):
+    model = EncodecModel._get_model(
+        [1.5, 3.], 24000, 1, causal=True, model_norm='weight_norm',
+        audio_normalize=False, segment=None, n_q=n_q, n_filters=4)
+    disc = MultiScaleSTFTDiscriminator(
+        filters=4, n_ffts=(256, 128), hop_lengths=(64, 32),
+        win_lengths=(256, 128))
+    balancer = Balancer({'l_t': 0.1, 'l_f': 1, 'l_g': 3, 'l_feat': 3})
+    sched = warmup_cosine_schedule(3e-4, max_iter=100, eta_ratio=0.1,
+                                   warmup_iter=10, warmup_ratio=1e-4)
+    step_fn = build_train_step(model, disc, balancer, sched, sched,
+                               disc_prob=1.0, sample_rate=24000)
+    state = init_train_state(model, disc, balancer, jax.random.PRNGKey(0),
+                             example_length=length)
+    return model, disc, step_fn, state
+
+
+def test_train_step_updates_generator_and_disc():
+    model, disc, step_fn, state = _tiny_setup()
+    batch = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 1200)) * 0.1
+    jitted = jax.jit(step_fn)
+    new_state, metrics = jitted(state, batch, jax.random.PRNGKey(2),
+                                jnp.asarray(True))
+    assert int(new_state.step) == 1
+    # generator params changed
+    leaf_before = jax.tree.leaves(state.params_g)[0]
+    leaf_after = jax.tree.leaves(new_state.params_g)[0]
+    assert not np.allclose(np.asarray(leaf_before), np.asarray(leaf_after))
+    assert float(metrics['disc_updated']) == 1.0
+    # disc params changed too (warmup LR is tiny at step 0 → compare exactly)
+    d_before = jax.tree.leaves(state.params_d)[0]
+    d_after = jax.tree.leaves(new_state.params_d)[0]
+    assert (np.asarray(d_before) != np.asarray(d_after)).any()
+    assert np.isfinite(float(metrics['loss_g']))
+    assert float(metrics['loss_w']) >= 0
+
+
+def test_disc_gating_blocks_update():
+    model, disc, step_fn, state = _tiny_setup()
+    batch = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 1200)) * 0.1
+    new_state, metrics = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(2),
+                                          jnp.asarray(False))
+    assert float(metrics['disc_updated']) == 0.0
+    d_before = jax.tree.leaves(state.params_d)[0]
+    d_after = jax.tree.leaves(new_state.params_d)[0]
+    np.testing.assert_array_equal(np.asarray(d_before), np.asarray(d_after))
+
+
+def test_train_step_data_parallel_8_devices():
+    model, disc, step_fn, state = _tiny_setup()
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    repl = replicated_sharding(mesh)
+    state = jax.device_put(state, repl)
+    batch = shard_batch(mesh, np.random.RandomState(0)
+                        .randn(8, 1, 1200).astype(np.float32) * 0.1)
+    jitted = jax.jit(step_fn,
+                     in_shardings=(repl, batch_sharding(mesh), repl, repl),
+                     out_shardings=(repl, repl))
+    new_state, metrics = jitted(state, batch, jax.device_put(
+        jax.random.PRNGKey(2), repl), jax.device_put(jnp.asarray(True), repl))
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics['loss_g']))
+
+    # determinism vs single-device: same batch unsharded gives same metrics
+    state_1d = jax.device_put(state, jax.devices()[0])
+    batch_1d = jnp.asarray(np.asarray(batch))
+    new_state_1d, metrics_1d = jax.jit(step_fn)(
+        state_1d, batch_1d, jax.random.PRNGKey(2), jnp.asarray(True))
+    np.testing.assert_allclose(float(metrics['loss_g']),
+                               float(metrics_1d['loss_g']), rtol=1e-4)
