@@ -72,7 +72,7 @@ def init_rvq_state(key: jax.Array, n_q: int, bins: int, dim: int,
         inited=inited,
         cluster_size=jnp.zeros((n_q, bins), jnp.float32),
         embed=embed,
-        embed_avg=embed,
+        embed_avg=jnp.copy(embed),  # distinct buffer (donation-safe)
     )
 
 

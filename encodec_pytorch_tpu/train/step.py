@@ -53,7 +53,7 @@ def init_train_state(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
     x = jnp.zeros((1, model.channels, example_length), jnp.float32)
     params_d = disc.init(k_disc, x)['params']
     opt = make_optimizers()
-    return TrainState(
+    state = TrainState(
         params_g=variables['params'],
         params_d=params_d,
         quantizer=variables['quantizer'],
@@ -62,6 +62,8 @@ def init_train_state(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
         balancer=balancer.init_state(),
         step=jnp.zeros((), jnp.int32),
     )
+    # de-alias every leaf: donated jitted steps reject duplicate buffers
+    return jax.tree.map(jnp.copy, state)
 
 
 def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,

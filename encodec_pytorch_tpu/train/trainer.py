@@ -1,0 +1,293 @@
+"""Host training loop — rebuild of /root/reference/train_multi_gpu.py and
+train_single_gpu.py as ONE driver.
+
+The reference forks per-GPU processes with mp.spawn and wraps models in DDP;
+here a single process drives one jitted SPMD step over a device mesh (the
+``distributed`` config group selects how many devices the batch is sharded
+over). Single-device and multi-chip runs are the same code path — the mesh
+just has one device.
+"""
+
+import logging
+import os
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, parse_probability, parse_segment
+from ..data.dataset import CustomAudioDataset, DataLoader
+from ..data.multi_channel import MultiChannelAudioDataset
+from ..models.model import EncodecModel
+from ..models.msstftd import MultiScaleSTFTDiscriminator
+from ..parallel.mesh import (batch_sharding, create_mesh, initialize_distributed,
+                             replicated_sharding, shard_batch)
+from ..utils import count_parameters, save_audio, set_seed
+from .balancer import Balancer
+from .checkpoint import load_checkpoint, save_checkpoint
+from .schedule import warmup_cosine_schedule
+from .step import build_eval_step, build_train_step, init_train_state
+
+logger = logging.getLogger('encodec_pytorch_tpu')
+
+
+def setup_logging(save_folder: str, tag: str):
+    """File + console logging with the reference's formatter
+    (train_multi_gpu.py:174-189)."""
+    logger.handlers.clear()
+    logger.setLevel(logging.INFO)
+    os.makedirs(save_folder, exist_ok=True)
+    formatter = logging.Formatter(
+        '%(asctime)s: %(levelname)s: [%(filename)s: %(lineno)d]: %(message)s')
+    fh = logging.FileHandler(os.path.join(save_folder, f'train_encodec_{tag}.log'))
+    fh.setFormatter(formatter)
+    sh = logging.StreamHandler()
+    sh.setLevel(logging.INFO)
+    sh.setFormatter(formatter)
+    logger.addHandler(fh)
+    logger.addHandler(sh)
+    return logger
+
+
+def build_model_from_config(config: Config) -> EncodecModel:
+    """Model factory mirroring train_multi_gpu.py:199-207."""
+    n_q = config.model.get('n_q', None)
+    return EncodecModel._get_model(
+        list(config.model.target_bandwidths),
+        int(config.model.sample_rate),
+        int(config.model.channels),
+        causal=bool(config.model.causal),
+        model_norm=str(config.model.norm),
+        audio_normalize=bool(config.model.audio_normalize),
+        segment=parse_segment(config.model.segment),
+        name=str(config.model.name),
+        ratios=list(config.model.ratios),
+        n_q=int(n_q) if n_q else None,
+        # `model.filters` configures the discriminator (train_multi_gpu.py:211);
+        # the SEANet width has its own optional key
+        n_filters=int(config.model.get('n_filters', 32)))
+
+
+def build_disc_from_config(config: Config) -> MultiScaleSTFTDiscriminator:
+    """Discriminator factory mirroring train_multi_gpu.py:208-215."""
+    return MultiScaleSTFTDiscriminator(
+        in_channels=int(config.model.channels),
+        out_channels=int(config.model.channels),
+        filters=int(config.model.filters),
+        hop_lengths=tuple(config.model.disc_hop_lengths),
+        win_lengths=tuple(config.model.disc_win_lengths),
+        n_ffts=tuple(config.model.disc_n_ffts))
+
+
+def build_dataset(config: Config, mode: str):
+    kind = str(config.datasets.get('dataset', 'csv'))
+    if kind == 'multi_channel':
+        return MultiChannelAudioDataset(config, mode=mode)
+    return CustomAudioDataset(config, mode=mode)
+
+
+class Trainer:
+    """End-to-end training driver (epoch loop, test loop, ckpt/resume,
+    TB logging). Mirrors reference train() (train_multi_gpu.py:172-353)."""
+
+    def __init__(self, config: Config):
+        self.config = config
+        tag = f"bs{config.datasets.batch_size}_lr{config.optimization.lr}"
+        setup_logging(config.checkpoint.save_folder, tag)
+
+        if config.common.seed is not None:
+            set_seed(int(config.common.seed))
+
+        initialize_distributed()
+        if bool(config.distributed.data_parallel):
+            n_dev = int(config.distributed.world_size) or 0
+        else:
+            n_dev = 1
+        self.mesh = create_mesh(n_dev)
+        self.n_devices = int(self.mesh.devices.size)
+        logger.info("device mesh: %d × %s", self.n_devices,
+                    jax.devices()[0].platform)
+
+        self.model = build_model_from_config(config)
+        self.disc = build_disc_from_config(config)
+        self.balancer = Balancer(dict(config.balancer.weights.to_dict())
+                                 if hasattr(config.balancer.weights, 'to_dict')
+                                 else dict(config.balancer.weights))
+        logger.info('Loss balancer with weights %s instantiated',
+                    self.balancer.weights)
+
+        self.trainset = build_dataset(config, 'train')
+        self.testset = build_dataset(config, 'test')
+        bs = int(config.datasets.batch_size)
+        assert bs % self.n_devices == 0 or self.n_devices == 1, \
+            f"batch_size {bs} must divide over {self.n_devices} devices"
+        self.tensor_cut = int(config.datasets.tensor_cut)
+        self.trainloader = DataLoader(self.trainset, bs, shuffle=True,
+                                      fixed_length=self.tensor_cut,
+                                      seed=int(config.common.seed or 0))
+        self.testloader = DataLoader(self.testset, bs, shuffle=False,
+                                     fixed_length=self.tensor_cut,
+                                     seed=int(config.common.seed or 0))
+        logger.info("There are %d batches to train the EnCodec",
+                    len(self.trainloader))
+        logger.info("There are %d batches to test the EnCodec",
+                    len(self.testloader))
+
+        steps_per_epoch = max(1, len(self.trainloader))
+        max_iter = int(config.common.max_epoch) * steps_per_epoch
+        warmup_iter = int(config.lr_scheduler.warmup_epoch) * steps_per_epoch
+        gen_sched = warmup_cosine_schedule(
+            float(config.optimization.lr), max_iter=max_iter, eta_ratio=0.1,
+            warmup_iter=warmup_iter, warmup_ratio=1e-4)
+        disc_sched = warmup_cosine_schedule(
+            float(config.optimization.disc_lr), max_iter=max_iter,
+            eta_ratio=0.1, warmup_iter=warmup_iter, warmup_ratio=1e-4)
+        self.warmup_epoch = int(config.lr_scheduler.warmup_epoch)
+        self.disc_prob = parse_probability(config.model.train_discriminator)
+
+        step_fn = build_train_step(self.model, self.disc, self.balancer,
+                                   gen_sched, disc_sched,
+                                   disc_prob=self.disc_prob,
+                                   sample_rate=int(config.model.sample_rate))
+        repl = replicated_sharding(self.mesh)
+        donate = (0,) if bool(config.tpu.get('donate_state', True)) else ()
+        self.train_step = jax.jit(
+            step_fn,
+            in_shardings=(repl, batch_sharding(self.mesh), repl, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=donate)
+        self.eval_step = build_eval_step(self.model, self.disc, self.balancer,
+                                         int(config.model.sample_rate))
+
+        # ---- state init / resume
+        self.state = init_train_state(self.model, self.disc, self.balancer,
+                                      jax.random.PRNGKey(int(config.common.seed or 0)),
+                                      example_length=self.tensor_cut)
+        self.resume_epoch = 0
+        if bool(config.checkpoint.resume):
+            ckpt_path = str(config.checkpoint.checkpoint_path)
+            assert ckpt_path, "resume path is empty"
+            self.state, self.resume_epoch = load_checkpoint(ckpt_path, self.state)
+            if self.resume_epoch >= int(config.common.max_epoch):
+                raise ValueError(
+                    f"resume epoch {self.resume_epoch} is larger than total "
+                    f"epochs {config.common.max_epoch}")
+            logger.info("loaded checkpoint, resume from epoch %d",
+                        self.resume_epoch)
+        self.state = jax.device_put(self.state, repl)
+        self._repl = repl
+
+        logger.info("Encodec Model Parameters: %d | Disc Model Parameters: %d",
+                    count_parameters(self.state.params_g),
+                    count_parameters(self.state.params_d))
+
+        self.writer = None
+        try:
+            from tensorboardX import SummaryWriter
+            self.writer = SummaryWriter(
+                log_dir=os.path.join(str(config.checkpoint.save_folder), 'runs'))
+            logger.info('Saving tensorboard logs to %s',
+                        Path(self.writer.logdir).resolve())
+        except Exception as exc:
+            logger.warning('tensorboard unavailable: %s', exc)
+
+        self.rng = jax.device_put(
+            jax.random.PRNGKey(int(config.common.seed or 0) + 1), repl)
+
+    # ------------------------------------------------------------ train loop
+
+    def train_one_epoch(self, epoch: int):
+        """Mirrors train_one_step's per-epoch batch loop
+        (train_multi_gpu.py:32-142)."""
+        cfg = self.config
+        self.trainloader.set_epoch(epoch)
+        data_length = len(self.trainloader)
+        acc = {}
+        acc_count = 0
+        disc_allowed = jax.device_put(jnp.asarray(
+            self.disc_prob > 0 and epoch >= self.warmup_epoch), self._repl)
+        log_interval = int(cfg.common.log_interval)
+        t0 = time.time()
+        for idx, batch_np in enumerate(self.trainloader):
+            batch = shard_batch(self.mesh, batch_np)
+            self.state, metrics = self.train_step(self.state, batch, self.rng,
+                                                  disc_allowed)
+            acc_count += 1
+            for k, v in metrics.items():
+                acc[k] = acc.get(k, 0.0) + float(v)
+            if idx % log_interval == 0 or idx == data_length - 1:
+                denom = acc_count
+                avg = {k: v / denom for k, v in acc.items()}
+                dt = (time.time() - t0) / denom
+                logger.info(
+                    "Epoch %d %d/%d\tAvg loss_G: %.4f\tAvg loss_W: %.4f\t"
+                    "lr_G: %.6e\tlr_D: %.6e\tloss_disc: %.4f\t%.3fs/step",
+                    epoch, idx + 1, data_length, avg.get('loss_g', 0),
+                    avg.get('loss_w', 0), float(metrics['lr_g']),
+                    float(metrics['lr_d']), avg.get('loss_disc', 0), dt)
+                if self.writer:
+                    gstep = (epoch - 1) * data_length + idx
+                    self.writer.add_scalar('Train/Loss_G', avg.get('loss_g', 0), gstep)
+                    for k in ('l_t', 'l_f', 'l_g', 'l_feat'):
+                        if k in avg:
+                            self.writer.add_scalar(f'Train/{k}', avg[k], gstep)
+                    self.writer.add_scalar('Train/Loss_W', avg.get('loss_w', 0), gstep)
+                    self.writer.add_scalar('Train/Loss_Disc',
+                                           avg.get('loss_disc', 0), gstep)
+
+    def test(self, epoch: int):
+        """Mirrors test() (train_multi_gpu.py:144-170): eval losses + a
+        GT/Reconstruction wav dump."""
+        cfg = self.config
+        losses = {}
+        n = 0
+        for batch_np in self.testloader:
+            batch = jnp.asarray(batch_np)
+            out = self.eval_step(self.state, batch)
+            for k, v in out.items():
+                losses[k] = losses.get(k, 0.0) + float(v)
+            n += 1
+        if n == 0:
+            return
+        avg = {k: v / n for k, v in losses.items()}
+        logger.info('| TEST | epoch: %d | loss_g: %.4f | loss_disc: %.4f',
+                    epoch, sum(v for k, v in avg.items() if k != 'loss_disc'),
+                    avg.get('loss_disc', 0.0))
+        if self.writer:
+            for k, v in avg.items():
+                self.writer.add_scalar(f'Test/{k}', v, epoch)
+
+        # reconstruction demo (uncropped sample)
+        try:
+            wav, sr = self.testset.get()
+            variables = {'params': jax.device_get(self.state.params_g),
+                         'quantizer': jax.device_get(self.state.quantizer)}
+            out = self.model(variables, jnp.asarray(wav[None]))
+            sp = Path(str(cfg.checkpoint.save_folder))
+            save_audio(np.asarray(wav), sp / 'GT.wav', sr)
+            save_audio(np.asarray(out[0]), sp / 'Reconstruction.wav', sr)
+        except Exception as exc:
+            logger.warning('reconstruction demo failed: %s', exc)
+
+    def save(self, epoch: int):
+        cfg = self.config
+        path = (f"{cfg.checkpoint.save_location}epoch{epoch}_"
+                f"lr{cfg.optimization.lr}.ckpt")
+        save_checkpoint(path, self.state, epoch)
+        logger.info('saved checkpoint %s', path)
+
+    def run(self):
+        cfg = self.config
+        start_epoch = max(1, self.resume_epoch + 1)
+        self.test(0)
+        for epoch in range(start_epoch, int(cfg.common.max_epoch) + 1):
+            self.train_one_epoch(epoch)
+            if epoch % int(cfg.common.test_interval) == 0:
+                self.test(epoch)
+            if epoch % int(cfg.common.save_interval) == 0:
+                self.save(epoch)
+        if self.writer:
+            self.writer.close()
