@@ -234,11 +234,35 @@ class SConvTranspose1d(nn.Module):
         else:
             raise NotImplementedError(f"norm '{self.norm}' unsupported")
 
-        y = jax.lax.conv_transpose(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            strides=(self.stride,), padding='VALID',
-            dimension_numbers=('NWC', 'WIO', 'NWC'),
-            transpose_kernel=True)
+        k, s = self.kernel_size, self.stride
+        if s > 1 and k % s == 0:
+            # TPU-native lowering: a stride-s transposed conv with k = r·s is
+            # exactly a stride-1 conv producing s·C_out channels followed by
+            # depth-to-space:  y[s·q + p] = Σ_m x[q−m] · W[s·m + p]
+            # (phase-major channel grouping). This replaces XLA's
+            # input-dilated conv_transpose with one dense MXU matmul of
+            # contraction r·C_in — several times faster for the EnCodec
+            # upsample layers (k = 2s).
+            r = k // s
+            # kernel [k, out, in] → K[j, ci, p·out + co] = W[s·(r−1−j)+p, co, ci]
+            K = kernel.reshape(r, s, self.out_channels, self.in_channels)
+            K = K[::-1]                                  # j = r-1-m
+            K = jnp.transpose(K, (0, 3, 1, 2))           # [r, in, s, out]
+            K = K.reshape(r, self.in_channels, s * self.out_channels)
+            xpad = jnp.pad(x, ((0, 0), (r - 1, r - 1), (0, 0)))
+            y = jax.lax.conv_general_dilated(
+                xpad.astype(self.dtype), K.astype(self.dtype),
+                window_strides=(1,), padding='VALID',
+                dimension_numbers=('NWC', 'WIO', 'NWC'),
+                preferred_element_type=jnp.float32)
+            B, Tq, _ = y.shape
+            y = y.reshape(B, Tq * s, self.out_channels)
+        else:
+            y = jax.lax.conv_transpose(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                strides=(self.stride,), padding='VALID',
+                dimension_numbers=('NWC', 'WIO', 'NWC'),
+                transpose_kernel=True)
         y = y.astype(jnp.float32)
         if self.use_bias:
             bias = self.param('bias', _uniform_init(bound),
