@@ -243,15 +243,17 @@ class EncodecModel:
                    name: str = 'unset',
                    ratios=(8, 5, 4, 2),
                    n_q: Optional[int] = None,
-                   n_filters: int = 32) -> 'EncodecModel':
+                   n_filters: int = 32,
+                   dtype=jnp.float32) -> 'EncodecModel':
         """Mirror of model.py:242-276 incl. the default n_q formula
-        (→ 32 for 24 kHz / bw 24, model.py:258)."""
+        (→ 32 for 24 kHz / bw 24, model.py:258). ``dtype`` selects the
+        matmul/conv compute dtype (bfloat16 for MXU throughput)."""
         encoder = SEANetEncoder(channels=channels, norm=model_norm,
                                 causal=causal, ratios=tuple(ratios),
-                                n_filters=n_filters)
+                                n_filters=n_filters, dtype=dtype)
         decoder = SEANetDecoder(channels=channels, norm=model_norm,
                                 causal=causal, ratios=tuple(ratios),
-                                n_filters=n_filters)
+                                n_filters=n_filters, dtype=dtype)
         if n_q is None:
             n_q = int(1000 * target_bandwidths[-1]
                       // (math.ceil(sample_rate / encoder.hop_length) * 10))

@@ -52,10 +52,17 @@ def setup_logging(save_folder: str, tag: str):
     return logger
 
 
+def _compute_dtype(config: Config):
+    name = 'float32'
+    if 'tpu' in config:
+        name = str(config.tpu.get('compute_dtype', 'float32'))
+    return {'float32': jnp.float32, 'bfloat16': jnp.bfloat16}[name]
+
+
 def build_model_from_config(config: Config) -> EncodecModel:
     """Model factory mirroring train_multi_gpu.py:199-207."""
     n_q = config.model.get('n_q', None)
-    return EncodecModel._get_model(
+    model = EncodecModel._get_model(
         list(config.model.target_bandwidths),
         int(config.model.sample_rate),
         int(config.model.channels),
@@ -68,7 +75,9 @@ def build_model_from_config(config: Config) -> EncodecModel:
         n_q=int(n_q) if n_q else None,
         # `model.filters` configures the discriminator (train_multi_gpu.py:211);
         # the SEANet width has its own optional key
-        n_filters=int(config.model.get('n_filters', 32)))
+        n_filters=int(config.model.get('n_filters', 32)),
+        dtype=_compute_dtype(config))
+    return model
 
 
 def build_disc_from_config(config: Config) -> MultiScaleSTFTDiscriminator:
@@ -79,7 +88,8 @@ def build_disc_from_config(config: Config) -> MultiScaleSTFTDiscriminator:
         filters=int(config.model.filters),
         hop_lengths=tuple(config.model.disc_hop_lengths),
         win_lengths=tuple(config.model.disc_win_lengths),
-        n_ffts=tuple(config.model.disc_n_ffts))
+        n_ffts=tuple(config.model.disc_n_ffts),
+        dtype=_compute_dtype(config))
 
 
 def build_dataset(config: Config, mode: str):
@@ -194,6 +204,26 @@ class Trainer:
         except Exception as exc:
             logger.warning('tensorboard unavailable: %s', exc)
 
+        # optional wandb (the single-GPU reference trainer's logging surface,
+        # train_single_gpu.py:227-240; package gated — not in the TPU image)
+        self.wandb = None
+        if 'wandb' in config and bool(config.wandb.get('enabled', False)):
+            try:
+                import wandb
+                wandb.init(project=str(config.wandb.get('project', 'encodec-tpu')),
+                           name=str(config.wandb.get('name', tag)),
+                           config=config.to_dict())
+                self.wandb = wandb
+            except Exception as exc:
+                logger.warning('wandb unavailable: %s', exc)
+
+        # optional profiler traces (SURVEY.md §5: the reference has none;
+        # first-class here)
+        self.profile_dir = ''
+        if 'tpu' in config:
+            self.profile_dir = str(config.tpu.get('profile_dir', '') or '')
+        self._profiling = False
+
         self.rng = jax.device_put(
             jax.random.PRNGKey(int(config.common.seed or 0) + 1), repl)
 
@@ -212,9 +242,16 @@ class Trainer:
         log_interval = int(cfg.common.log_interval)
         t0 = time.time()
         for idx, batch_np in enumerate(self.trainloader):
+            if self.profile_dir and epoch == 1 and idx == 2:
+                jax.profiler.start_trace(self.profile_dir)
+                self._profiling = True
             batch = shard_batch(self.mesh, batch_np)
             self.state, metrics = self.train_step(self.state, batch, self.rng,
                                                   disc_allowed)
+            if self._profiling and idx == 6:
+                jax.profiler.stop_trace()
+                self._profiling = False
+                logger.info('wrote profiler trace to %s', self.profile_dir)
             acc_count += 1
             for k, v in metrics.items():
                 acc[k] = acc.get(k, 0.0) + float(v)
@@ -237,6 +274,10 @@ class Trainer:
                     self.writer.add_scalar('Train/Loss_W', avg.get('loss_w', 0), gstep)
                     self.writer.add_scalar('Train/Loss_Disc',
                                            avg.get('loss_disc', 0), gstep)
+                if self.wandb:
+                    gstep = (epoch - 1) * data_length + idx
+                    self.wandb.log({f'train/{k}': v for k, v in avg.items()},
+                                   step=gstep)
 
     def test(self, epoch: int):
         """Mirrors test() (train_multi_gpu.py:144-170): eval losses + a
@@ -259,6 +300,8 @@ class Trainer:
         if self.writer:
             for k, v in avg.items():
                 self.writer.add_scalar(f'Test/{k}', v, epoch)
+        if self.wandb:
+            self.wandb.log({f'test/{k}': v for k, v in avg.items()})
 
         # reconstruction demo (uncropped sample)
         try:
@@ -269,6 +312,13 @@ class Trainer:
             sp = Path(str(cfg.checkpoint.save_folder))
             save_audio(np.asarray(wav), sp / 'GT.wav', sr)
             save_audio(np.asarray(out[0]), sp / 'Reconstruction.wav', sr)
+            if self.wandb:
+                self.wandb.log({
+                    'audio/ground_truth': self.wandb.Audio(
+                        np.asarray(wav).reshape(-1), sample_rate=sr),
+                    'audio/reconstruction': self.wandb.Audio(
+                        np.clip(np.asarray(out[0]).reshape(-1), -1, 1),
+                        sample_rate=sr)})
         except Exception as exc:
             logger.warning('reconstruction demo failed: %s', exc)
 
@@ -278,6 +328,14 @@ class Trainer:
                 f"lr{cfg.optimization.lr}.ckpt")
         save_checkpoint(path, self.state, epoch)
         logger.info('saved checkpoint %s', path)
+        if self.wandb:
+            try:
+                art = self.wandb.Artifact(
+                    f'checkpoint-epoch{epoch}', type='model')
+                art.add_file(path)
+                self.wandb.log_artifact(art)
+            except Exception as exc:
+                logger.warning('wandb artifact upload failed: %s', exc)
 
     def run(self):
         cfg = self.config
