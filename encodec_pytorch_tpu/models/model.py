@@ -66,8 +66,17 @@ class EncodecModel:
             "quantizer bins must be a power of 2."
         self._enc_apply = jax.jit(self.encoder.apply)
         self._dec_apply = jax.jit(self.decoder.apply)
-        self._rvq_encode = jax.jit(rvq_encode, static_argnums=2)
+        self._rvq_encode = jax.jit(self._rvq_encode_impl, static_argnums=2)
         self._rvq_decode = jax.jit(rvq_decode)
+
+    @staticmethod
+    def _rvq_encode_impl(state, emb, n_q):
+        # fused Pallas nearest-code search on TPU, XLA scan elsewhere
+        from ..ops import pallas_vq
+        bins, dim = state.embed.shape[1], state.embed.shape[2]
+        if pallas_vq.available() and bins % 128 == 0 and dim % 128 == 0:
+            return pallas_vq.rvq_encode_pallas(state, emb, n_q)
+        return rvq_encode(state, emb, n_q)
 
     # ----------------------------------------------------------- properties
 
