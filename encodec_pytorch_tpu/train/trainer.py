@@ -169,8 +169,9 @@ class Trainer:
             in_shardings=(repl, batch_sharding(self.mesh), repl, repl),
             out_shardings=(repl, repl),
             donate_argnums=donate)
-        self.eval_step = build_eval_step(self.model, self.disc, self.balancer,
-                                         int(config.model.sample_rate))
+        self.eval_step = jax.jit(build_eval_step(
+            self.model, self.disc, self.balancer,
+            int(config.model.sample_rate)))
 
         # ---- state init / resume
         self.state = init_train_state(self.model, self.disc, self.balancer,
