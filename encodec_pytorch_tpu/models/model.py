@@ -186,6 +186,13 @@ class EncodecModel:
         frames = self.encode(variables, x)
         return self.decode(variables, frames)[:, :, :x.shape[-1]]
 
+    def get_lm_model(self, checkpoint: Optional[str] = None):
+        """Associated entropy LM for compression (reference model.py:221-240).
+        Delegates to compress.get_lm_model (local checkpoint required — no
+        download in this environment)."""
+        from ..compress import get_lm_model
+        return get_lm_model(self, checkpoint=checkpoint)
+
     # ------------------------------------------------------- training logic
 
     def n_q_for_bandwidth_index(self) -> np.ndarray:
