@@ -86,6 +86,14 @@ def compress_to_file(model: EncodecModel, variables, wav, fo: tp.IO[bytes],
     }
     binary.write_ecdc_header(fo, metadata)
 
+    if use_lm and len(frames) > 1:
+        # Per-frame AC streams are not length-prefixed and the decoder cannot
+        # know how many flush bytes to skip between frames — the reference
+        # format has the same limitation (its segmented 48 kHz + LM path
+        # would misalign, compress.py:120-156). Fail loudly instead.
+        raise ValueError("use_lm with segmented models (multiple frames) is "
+                         "not supported by the .ecdc format")
+
     for (frame, scale) in frames:
         if scale is not None:
             fo.write(struct.pack('!f', float(scale.reshape(-1)[0])))
