@@ -59,3 +59,25 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch, axis: str = 'data'):
     """Place a host numpy batch as a global array sharded over the mesh."""
     return jax.device_put(batch, batch_sharding(mesh, axis))
+
+
+def assert_replicated(tree, atol: float = 0.0, sample_leaves: int = 4):
+    """Fail fast if nominally-replicated state diverged across devices.
+
+    The reference's analogue is `_check_number_of_params` (distrib.py:41-52),
+    which only catches param-count mismatches; under GSPMD divergence should
+    be impossible, so this is a debugging guard (e.g. after manual
+    device_puts). Checks a few leaves' per-device buffers for equality.
+    """
+    import numpy as np
+    leaves = [l for l in jax.tree.leaves(tree) if hasattr(l, 'addressable_shards')]
+    for leaf in leaves[:sample_leaves]:
+        shards = leaf.addressable_shards
+        if len(shards) <= 1:
+            continue
+        ref = np.asarray(shards[0].data)
+        for s in shards[1:]:
+            if not np.allclose(ref, np.asarray(s.data), atol=atol, rtol=0):
+                raise AssertionError(
+                    f"replicated state diverged across devices "
+                    f"(device {s.device} differs)")

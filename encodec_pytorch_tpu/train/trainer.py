@@ -341,12 +341,34 @@ class Trainer:
     def run(self):
         cfg = self.config
         start_epoch = max(1, self.resume_epoch + 1)
-        self.test(0)
-        for epoch in range(start_epoch, int(cfg.common.max_epoch) + 1):
-            self.train_one_epoch(epoch)
-            if epoch % int(cfg.common.test_interval) == 0:
-                self.test(epoch)
-            if epoch % int(cfg.common.save_interval) == 0:
-                self.save(epoch)
-        if self.writer:
-            self.writer.close()
+
+        # preemption safety (TPU VMs get SIGTERM on eviction; the reference
+        # has no recovery story, SURVEY.md §5): checkpoint before dying
+        import signal
+        current_epoch = [start_epoch - 1]
+
+        def _on_term(signum, frame):
+            logger.warning('received signal %s — writing preemption '
+                           'checkpoint', signum)
+            try:
+                self.save(current_epoch[0])
+            finally:
+                raise SystemExit(128 + signum)
+
+        old_handler = signal.signal(signal.SIGTERM, _on_term)
+        try:
+            self.test(0)
+            for epoch in range(start_epoch, int(cfg.common.max_epoch) + 1):
+                current_epoch[0] = epoch - 1  # completed epochs so far
+                self.train_one_epoch(epoch)
+                current_epoch[0] = epoch
+                if epoch % int(cfg.common.test_interval) == 0:
+                    self.test(epoch)
+                if epoch % int(cfg.common.save_interval) == 0:
+                    self.save(epoch)
+        finally:
+            signal.signal(signal.SIGTERM, old_handler)
+            if self.writer:
+                self.writer.close()
+            if self.wandb:
+                self.wandb.finish()
