@@ -308,12 +308,30 @@ def encodec_model_48khz(checkpoint: Optional[str] = None,
 
 
 def my_encodec_model(checkpoint: str, ratios=(8, 5, 4, 2)) -> Tuple[EncodecModel, dict]:
-    """Local trained checkpoint (model.py:332-349)."""
+    """Local trained checkpoint (model.py:332-349).
+
+    Improvement over the reference: ``n_q`` is inferred from the checkpoint's
+    RVQ buffers, so n_q-overridden training runs (config_mono_nq2) load
+    through the same factory instead of failing on a strict size mismatch.
+    """
+    n_q = _checkpoint_n_q(checkpoint)
     model = EncodecModel._get_model(
         [1.5, 3., 6, 12., 24.], 24_000, 1, causal=False,
         model_norm='time_group_norm', audio_normalize=True,
-        segment=None, name='my_encodec', ratios=ratios)
+        segment=None, name='my_encodec', ratios=ratios, n_q=n_q)
     return model, _load_torch_checkpoint(model, checkpoint, nested=True)
+
+
+def _checkpoint_n_q(path: str) -> Optional[int]:
+    """Count RVQ stages in a torch checkpoint (None → factory default)."""
+    import torch
+    obj = torch.load(path, map_location='cpu', weights_only=False)
+    sd = obj.get('model_state_dict', obj) if isinstance(obj, dict) else obj
+    stages = set()
+    for k in sd:
+        if '.layers.' in k:
+            stages.add(int(k.split('.layers.')[1].split('.')[0]))
+    return (max(stages) + 1) if stages else None
 
 
 def encodec_model_bw(checkpoint: str, bandwidth: float = 24.) -> Tuple[EncodecModel, dict]:
