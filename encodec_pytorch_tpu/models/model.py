@@ -358,9 +358,18 @@ def _load_torch_checkpoint(model: EncodecModel, path: str,
     ``nested=True`` for trainer checkpoints (``{'model_state_dict': ...}``
     with the ``quantizer.model → quantizer.vq`` remap, model.py:346-347).
     """
+    import os
+
     import torch
 
     from .. import convert
+    from ..utils import check_checksum
+
+    # released checkpoints carry a sha256 prefix in the filename
+    # (encodec_24khz-d7cc33bc.th — reference model.py:278-289)
+    stem = os.path.splitext(os.path.basename(path))[0]
+    if not nested and '-' in stem:
+        check_checksum(path, stem.split('-')[1])
     obj = torch.load(path, map_location='cpu', weights_only=False)
     sd = obj['model_state_dict'] if nested and 'model_state_dict' in obj else obj
     sd = convert.remap_local_checkpoint_keys(

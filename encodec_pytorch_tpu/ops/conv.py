@@ -11,9 +11,9 @@ TPU-first rebuild of /root/reference/modules/conv.py:
   (conv.py:195-210, 230-252), so everything jits with static shapes.
 
 Supported norms (CONV_NORMALIZATIONS at conv.py:21): ``none``,
-``weight_norm``, ``time_group_norm``, ``layer_norm``. (``spectral_norm`` and
-``time_layer_norm`` are accepted names in the reference but unused by any
-shipped config; we raise if requested.)
+``weight_norm``, ``time_group_norm``, ``layer_norm``, ``spectral_norm``
+(stateless power iteration — see _spectral_norm_kernel). ``time_layer_norm``
+is accepted by the reference's name set but wired to nothing there either.
 """
 
 import math
@@ -34,6 +34,29 @@ def _uniform_init(bound: float):
 
 CONV_NORMALIZATIONS = frozenset(['none', 'weight_norm', 'spectral_norm',
                                  'time_layer_norm', 'layer_norm', 'time_group_norm'])
+
+
+def _spectral_norm_kernel(kernel: jnp.ndarray, u: jnp.ndarray,
+                          axis: int = -1, n_iter: int = 3) -> jnp.ndarray:
+    """kernel / σ(kernel) with σ from power iteration over the
+    ``[out, everything-else]`` matricization (torch spectral_norm semantics).
+
+    Deviation from torch (documented): torch carries ``u`` as a mutable
+    buffer updated every forward; here ``u`` is a fixed random param and the
+    iteration runs statelessly each call — same fixed point, no hidden state
+    (no shipped EnCodec config uses spectral_norm; provided for parity of the
+    CONV_NORMALIZATIONS surface, conv.py:21-22).
+    """
+    km = jnp.moveaxis(kernel, axis, -1)
+    out_dim = km.shape[-1]
+    w = km.reshape(-1, out_dim).T              # [out, rest]
+    for _ in range(n_iter):
+        v = w.T @ u
+        v = v / (jnp.linalg.norm(v) + 1e-12)
+        u = w @ v
+        u = u / (jnp.linalg.norm(u) + 1e-12)
+    sigma = u @ (w @ v)
+    return kernel / sigma
 
 
 def _weight_norm_kernel(v: jnp.ndarray, g: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -79,11 +102,16 @@ class NormConv1d(nn.Module):
                 v.reshape(-1, v.shape[-1]), axis=0).reshape(shape),
                 (1, 1, self.out_channels))
             kernel = _weight_norm_kernel(v, g, axis=2)
+        elif self.norm == 'spectral_norm':
+            kernel = self.param('kernel', kernel_init, kshape, jnp.float32)
+            u = self.param('u', nn.initializers.normal(1.0),
+                           (self.out_channels,))
+            kernel = _spectral_norm_kernel(kernel, u, axis=2)
         elif self.norm in ('none', 'time_group_norm', 'layer_norm'):
             kernel = self.param('kernel', kernel_init, kshape, jnp.float32)
         else:
             raise NotImplementedError(
-                f"norm '{self.norm}' is not used by any shipped EnCodec config")
+                f"norm '{self.norm}' is not supported")
 
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
@@ -133,6 +161,11 @@ class NormConv2d(nn.Module):
                 v.reshape(-1, v.shape[-1]), axis=0).reshape(shape),
                 (1, 1, 1, self.out_channels))
             kernel = _weight_norm_kernel(v, g, axis=3)
+        elif self.norm == 'spectral_norm':
+            kernel = self.param('kernel', kernel_init, kshape, jnp.float32)
+            u = self.param('u', nn.initializers.normal(1.0),
+                           (self.out_channels,))
+            kernel = _spectral_norm_kernel(kernel, u, axis=3)
         elif self.norm in ('none', 'time_group_norm', 'layer_norm'):
             kernel = self.param('kernel', kernel_init, kshape, jnp.float32)
         else:
@@ -229,6 +262,13 @@ class SConvTranspose1d(nn.Module):
                 v.reshape(-1, v.shape[-1]), axis=0).reshape(shape),
                 (1, 1, self.in_channels))
             kernel = _weight_norm_kernel(v, g, axis=2)
+        elif self.norm == 'spectral_norm':
+            kernel = self.param('kernel', kernel_init, kshape, jnp.float32)
+            # torch spectral_norm uses dim=1 (out) for ConvTranspose — our
+            # layout [k, out, in] has out at axis 1
+            u = self.param('u', nn.initializers.normal(1.0),
+                           (self.out_channels,))
+            kernel = _spectral_norm_kernel(kernel, u, axis=1)
         elif self.norm in ('none', 'time_group_norm', 'layer_norm'):
             kernel = self.param('kernel', kernel_init, kshape, jnp.float32)
         else:
