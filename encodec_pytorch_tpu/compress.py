@@ -152,10 +152,19 @@ def decompress_from_file(model: EncodecModel, variables, fo: tp.IO[bytes],
     frames = []
     segment_length = model.segment_length or audio_length
     segment_stride = model.segment_stride or audio_length
-    for offset in range(0, audio_length, segment_stride):
-        # frame length read from the header (compress.py:122-123 trusts 'fr'
-        # over the computed value — kept for bitstream compat)
-        frame_length = metadata['fr']
+    offsets = list(range(0, audio_length, segment_stride))
+    for offset in offsets:
+        if len(offsets) == 1:
+            # single-frame streams: trust the header 'fr' like the reference
+            # (compress.py:122-123) for bitstream compat
+            frame_length = metadata['fr']
+        else:
+            # multi-frame: the last segment is shorter; the reference's
+            # header-fr-everywhere would over-read (its own segmented decode
+            # is broken) — use the original-EnCodec computed length
+            this_segment_length = min(audio_length - offset, segment_length)
+            frame_length = int(math.ceil(
+                this_segment_length * model.frame_rate / model.sample_rate))
         if model.normalize:
             scale_f, = struct.unpack(
                 '!f', binary._read_exactly(fo, struct.calcsize('!f')))
