@@ -107,7 +107,8 @@ class NormConv1d(nn.Module):
             u = self.param('u', nn.initializers.normal(1.0),
                            (self.out_channels,))
             kernel = _spectral_norm_kernel(kernel, u, axis=2)
-        elif self.norm in ('none', 'time_group_norm', 'layer_norm'):
+        elif self.norm in ('none', 'time_group_norm', 'layer_norm',
+                           'time_layer_norm'):
             kernel = self.param('kernel', kernel_init, kshape, jnp.float32)
         else:
             raise NotImplementedError(
@@ -166,7 +167,8 @@ class NormConv2d(nn.Module):
             u = self.param('u', nn.initializers.normal(1.0),
                            (self.out_channels,))
             kernel = _spectral_norm_kernel(kernel, u, axis=3)
-        elif self.norm in ('none', 'time_group_norm', 'layer_norm'):
+        elif self.norm in ('none', 'time_group_norm', 'layer_norm',
+                           'time_layer_norm'):
             kernel = self.param('kernel', kernel_init, kshape, jnp.float32)
         else:
             raise NotImplementedError(f"norm '{self.norm}' unsupported")
@@ -269,7 +271,8 @@ class SConvTranspose1d(nn.Module):
             u = self.param('u', nn.initializers.normal(1.0),
                            (self.out_channels,))
             kernel = _spectral_norm_kernel(kernel, u, axis=1)
-        elif self.norm in ('none', 'time_group_norm', 'layer_norm'):
+        elif self.norm in ('none', 'time_group_norm', 'layer_norm',
+                           'time_layer_norm'):
             kernel = self.param('kernel', kernel_init, kshape, jnp.float32)
         else:
             raise NotImplementedError(f"norm '{self.norm}' unsupported")

@@ -96,11 +96,13 @@ def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
 
         loss_vals, loss_vjp = jax.vjp(losses_of, output)
         names = sorted(loss_vals.keys())
-        grads_per_loss = {}
-        for name in names:
-            cot = {k: (jnp.float32(1.0) if k == name else jnp.float32(0.0))
-                   for k in names}
-            grads_per_loss[name], = loss_vjp(cot)
+        # one BATCHED backward through disc+mel for all 4 losses (vmapped VJP
+        # over one-hot cotangents) instead of 4 sequential backwards — the
+        # reference needs 4 autograd.grad calls (balancer.py:87)
+        eye = jnp.eye(len(names), dtype=jnp.float32)
+        cots = {n: eye[:, i] for i, n in enumerate(names)}
+        stacked = jax.vmap(lambda c: loss_vjp(c)[0])(cots)
+        grads_per_loss = {n: stacked[i] for i, n in enumerate(names)}
 
         out_grad, new_balancer, bal_metrics = balancer(grads_per_loss,
                                                        state.balancer)
