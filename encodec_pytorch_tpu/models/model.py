@@ -202,7 +202,8 @@ class EncodecModel:
             self.quantizer.num_quantizers_for_bandwidth(self.frame_rate, bw)
             for bw in self.target_bandwidths], np.int32)
 
-    def forward_train(self, variables, x: jnp.ndarray, key: jax.Array):
+    def forward_train(self, variables, x: jnp.ndarray, key: jax.Array,
+                      remat: bool = False):
         """Training forward (model.py:195-210): encode frames, random
         bandwidth, quantizer forward with EMA update, decode, truncate.
 
@@ -226,16 +227,22 @@ class EncodecModel:
         state = variables['quantizer']
         loss_w = jnp.float32(0.0)
         decoded = []
+        enc_apply = self.encoder.apply
+        dec_apply = self.decoder.apply
+        if remat:
+            # trade FLOPs for HBM: recompute conv activations in the backward
+            enc_apply = jax.checkpoint(enc_apply)
+            dec_apply = jax.checkpoint(dec_apply)
         n_frames = len(range(0, length, stride))
         for i, offset in enumerate(range(0, length, stride)):
             frame = x[:, :, offset: offset + segment_length]
             frame, scale = self._normalize_frame(frame)
-            emb = self.encoder.apply(enc_params, jnp.swapaxes(frame, 1, 2))
+            emb = enc_apply(enc_params, jnp.swapaxes(frame, 1, 2))
             qv, state = self.quantizer(
                 state, emb, self.frame_rate, jax.random.fold_in(k_q, i),
                 n_q=n_q, training=True)
             loss_w = loss_w + qv.penalty
-            out = self.decoder.apply(dec_params, qv.quantized)
+            out = dec_apply(dec_params, qv.quantized)
             out = jnp.swapaxes(out, 1, 2)
             if scale is not None:
                 out = out * scale.reshape(-1, 1, 1)

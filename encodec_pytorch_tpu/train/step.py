@@ -68,7 +68,8 @@ def init_train_state(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
 
 def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
                      balancer: Balancer, gen_schedule, disc_schedule,
-                     disc_prob: float, sample_rate: int):
+                     disc_prob: float, sample_rate: int,
+                     remat: bool = False):
     """Returns ``step_fn(state, batch, rng, disc_allowed) -> (state, metrics)``
     (not yet jitted — the trainer jits it with shardings/donation)."""
     opt = make_optimizers()
@@ -80,7 +81,8 @@ def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
         # ---- generator forward with VJP wrt params
         def gen_fwd(params_g):
             variables = {'params': params_g, 'quantizer': state.quantizer}
-            output, loss_w, new_cb = model.forward_train(variables, batch, rng_bw)
+            output, loss_w, new_cb = model.forward_train(variables, batch,
+                                                         rng_bw, remat=remat)
             return (output, loss_w), new_cb
 
         (output, loss_w), gen_vjp, new_cb = jax.vjp(gen_fwd, state.params_g,

@@ -158,10 +158,14 @@ class Trainer:
         self.warmup_epoch = int(config.lr_scheduler.warmup_epoch)
         self.disc_prob = parse_probability(config.model.train_discriminator)
 
+        remat = False
+        if 'tpu' in config:
+            remat = bool(config.tpu.get('remat', False))
         step_fn = build_train_step(self.model, self.disc, self.balancer,
                                    gen_sched, disc_sched,
                                    disc_prob=self.disc_prob,
-                                   sample_rate=int(config.model.sample_rate))
+                                   sample_rate=int(config.model.sample_rate),
+                                   remat=remat)
         repl = replicated_sharding(self.mesh)
         donate = (0,) if bool(config.tpu.get('donate_state', True)) else ()
         self.train_step = jax.jit(
