@@ -8,9 +8,7 @@ RUN apt-get update && apt-get install -y --no-install-recommends g++ make \
 WORKDIR /workspace
 COPY pyproject.toml ./
 COPY encodec_pytorch_tpu ./encodec_pytorch_tpu
-COPY native ./native
 COPY scripts ./scripts
-COPY configs ./configs 2>/dev/null || true
 
 # On TPU VMs install the libtpu-bundled jax instead:
 #   pip install 'jax[tpu]' -f https://storage.googleapis.com/jax-releases/libtpu_releases.html

@@ -14,3 +14,19 @@ for data/bitstream/eval.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import encodec_pytorch_tpu` light)."""
+    import importlib
+    if name in ('EncodecModel', 'MODELS', 'encodec_model_24khz',
+                'encodec_model_48khz', 'my_encodec_model', 'encodec_model_bw'):
+        return getattr(importlib.import_module('.models', __name__), name)
+    if name == 'compress':
+        # the submodule itself (functions live on it: compress.compress, ...)
+        return importlib.import_module('.compress', __name__)
+    if name in ('decompress', 'compress_to_file', 'decompress_from_file'):
+        return getattr(importlib.import_module('.compress', __name__), name)
+    if name == 'load_config':
+        return importlib.import_module('.config', __name__).load_config
+    raise AttributeError(name)
