@@ -4,11 +4,12 @@ North-star from BASELINE.json: > 10× real-time per chip. Prints one JSON
 line: {"metric", "value", "unit", "vs_baseline"} with vs_baseline = RTF / 10.
 Runs on whatever device jax sees (the driver runs it on a real TPU chip).
 
-Methodology: the host↔TPU relay in this environment has a ~33 ms round-trip
-floor, so single-dispatch timing under-reports the chip. The round-trip is
-iterated inside ONE jitted `lax.scan` (each iteration consumes the previous
-output, so nothing can be elided) and a scalar checksum is fetched to force
-completion; per-iteration time = (total − one relay round-trip) / iters.
+Methodology: the host↔device dispatch+sync overhead (a ~33 ms relay
+round-trip in the dev environment) would otherwise swamp the measurement, so
+the codec round-trip is iterated inside ONE jitted `lax.scan` (each iteration
+consumes the previous output, so nothing can be elided) and a scalar checksum
+is fetched to force completion; per-iteration time =
+(total − measured dispatch overhead) / iters.
 """
 
 import json
@@ -17,8 +18,21 @@ import time
 import jax
 import jax.numpy as jnp
 
-RELAY_OVERHEAD_S = 0.033
 ITERS = 10
+
+
+def _measure_dispatch_overhead() -> float:
+    """One dispatch+sync of a trivial jitted op — the fixed host↔device cost
+    that chained iterations amortize. Median of 5."""
+    f = jax.jit(lambda x: jnp.sum(x) * 2)
+    x = jnp.ones((8, 128))
+    float(f(x))  # compile
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(x))
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
 
 
 def main():
@@ -51,11 +65,12 @@ def main():
     # warmup/compile
     _, chk = chained(x)
     float(chk)
+    overhead = _measure_dispatch_overhead()
 
     t0 = time.perf_counter()
     _, chk = chained(x)
     float(chk)  # forces a real device round-trip
-    dt = max(time.perf_counter() - t0 - RELAY_OVERHEAD_S, 1e-9) / ITERS
+    dt = max(time.perf_counter() - t0 - overhead, 1e-9) / ITERS
 
     rtf = seconds / dt
     print(json.dumps({
