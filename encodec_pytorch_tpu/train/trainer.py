@@ -123,9 +123,7 @@ class Trainer:
 
         self.model = build_model_from_config(config)
         self.disc = build_disc_from_config(config)
-        self.balancer = Balancer(dict(config.balancer.weights.to_dict())
-                                 if hasattr(config.balancer.weights, 'to_dict')
-                                 else dict(config.balancer.weights))
+        self.balancer = Balancer(config.balancer.weights.to_dict())
         logger.info('Loss balancer with weights %s instantiated',
                     self.balancer.weights)
 
