@@ -51,6 +51,37 @@ def _lstm_layer(x, w_ih, w_hh, b, dtype):
     return jnp.swapaxes(ys, 0, 1)
 
 
+@jax.custom_vjp
+def _fused_lstm_layer(x, w_ih, w_hh, b):
+    """Pallas-forward LSTM layer with a scan-based backward.
+
+    The Pallas kernel (ops/pallas_lstm.py) is ~30% faster than the XLA scan
+    on v5e for the forward; pallas_call is not differentiable, so the VJP
+    recomputes through the scan implementation (rematerialized backward).
+    """
+    from .pallas_lstm import lstm_layer_pallas
+    return lstm_layer_pallas(x, w_ih, w_hh, b)
+
+
+def _fused_lstm_fwd(x, w_ih, w_hh, b):
+    return _fused_lstm_layer(x, w_ih, w_hh, b), (x, w_ih, w_hh, b)
+
+
+def _fused_lstm_bwd(residuals, g):
+    x, w_ih, w_hh, b = residuals
+    _, vjp = jax.vjp(lambda x, wi, wh, b: _lstm_layer(x, wi, wh, b, jnp.float32),
+                     x, w_ih, w_hh, b)
+    return vjp(g)
+
+
+_fused_lstm_layer.defvjp(_fused_lstm_fwd, _fused_lstm_bwd)
+
+
+def _use_pallas_lstm(H: int, dtype) -> bool:
+    from .pallas_lstm import available
+    return available() and H % 128 == 0 and dtype == jnp.float32
+
+
 class SLSTM(nn.Module):
     """Multi-layer LSTM with residual skip (lstm.py:12-28)."""
     dimension: int
@@ -72,7 +103,10 @@ class SLSTM(nn.Module):
             w_ih = self.param(f'w_ih_l{layer}', init, (in_dim, 4 * H), jnp.float32)
             w_hh = self.param(f'w_hh_l{layer}', init, (H, 4 * H), jnp.float32)
             b = self.param(f'b_l{layer}', init, (4 * H,), jnp.float32)
-            y = _lstm_layer(y, w_ih, w_hh, b, self.dtype)
+            if _use_pallas_lstm(H, self.dtype):
+                y = _fused_lstm_layer(y, w_ih, w_hh, b)
+            else:
+                y = _lstm_layer(y, w_ih, w_hh, b, self.dtype)
         if self.skip:
             y = y + x
         return y
