@@ -73,6 +73,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ecdc_ac_decoder_free.argtypes = [c.c_void_p]
         lib.ecdc_build_cdf.argtypes = [c.c_void_p, c.c_size_t, c.c_int,
                                        c.c_float, c.c_int, c.c_void_p]
+        lib.ecdc_build_cdf_batch.argtypes = [
+            c.c_void_p, c.c_size_t, c.c_size_t, c.c_int, c.c_float, c.c_int,
+            c.c_void_p]
         _lib = lib
         return _lib
 
@@ -163,6 +166,18 @@ class NativeAcDecoder:
             self.close()
         except Exception:
             pass
+
+
+def build_cdf_batch(pdfs: np.ndarray, total_range_bits: int = 24,
+                    roundoff: float = 1e-8, min_range: int = 2) -> np.ndarray:
+    """[n, card] pdfs → [n, card] quantized CDFs in one native call."""
+    lib = _load()
+    pdfs = np.ascontiguousarray(pdfs, np.float32)
+    n, card = pdfs.shape
+    out = np.empty((n, card), np.int64)
+    lib.ecdc_build_cdf_batch(pdfs.ctypes.data, n, card, total_range_bits,
+                             roundoff, min_range, out.ctypes.data)
+    return out
 
 
 def build_cdf(pdf: np.ndarray, total_range_bits: int = 24,

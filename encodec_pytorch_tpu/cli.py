@@ -131,8 +131,11 @@ def cli_main(args):
         fatal(f"Bandwidth {args.bandwidth} is not supported by {model_name}")
     model.set_target_bandwidth(args.bandwidth)
 
+    # the LM is needed for compression when -l is passed, and for
+    # decompression whenever the stream's header says lm=True — so build it
+    # if a checkpoint was supplied even without -l
     lm = None
-    if args.lm:
+    if args.lm or args.lm_checkpoint:
         lm = C.get_lm_model(model, checkpoint=args.lm_checkpoint)
 
     if args.input.is_dir():

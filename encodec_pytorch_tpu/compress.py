@@ -109,7 +109,15 @@ def compress_to_file(model: EncodecModel, variables, wav, fo: tp.IO[bytes],
 
 def _compress_frame_lm(lm: LM, frame: np.ndarray, fo: tp.IO[bytes]):
     """Arithmetic-code one frame with streaming LM probabilities
-    (compress.py:69-90)."""
+    (compress.py:69-90).
+
+    The t-loop must stay sequential (the LM is conditioned on the previous
+    step's codes and the decoder reproduces it incrementally), but within a
+    timestep all K codebooks' CDFs depend only on codes < t, so the K inner
+    loop is batched: one native CDF build + one AC push_batch per step —
+    byte-identical to K scalar pushes since the coder state updates in the
+    same (t, k) order.
+    """
     _, K, T = frame.shape
     use_native = native.available()
     if use_native:
@@ -121,14 +129,15 @@ def _compress_frame_lm(lm: LM, frame: np.ndarray, fo: tp.IO[bytes]):
     for t in range(T):
         probas, state = lm.step(input_, state)
         input_ = 1 + frame[:, :, t:t + 1]
-        for k in range(K):
-            pdf = probas[0, :, k, 0]
-            value = int(frame[0, k, t])
-            if use_native:
-                coder.push(value, native.build_cdf(pdf, 24))
-            else:
-                q_cdf = ac_mod.build_stable_quantized_cdf(pdf, 24, check=False)
-                coder.push(value, q_cdf)
+        pdfs = probas[0, :, :, 0].T  # [K, card]
+        if use_native:
+            coder.push_batch(frame[0, :, t].astype(np.int32),
+                             native.build_cdf_batch(pdfs, 24))
+        else:
+            for k in range(K):
+                q_cdf = ac_mod.build_stable_quantized_cdf(pdfs[k], 24,
+                                                          check=False)
+                coder.push(int(frame[0, k, t]), q_cdf)
     if use_native:
         fo.write(coder.finish())
     else:
@@ -211,16 +220,22 @@ def _decompress_frame_lm(lm: LM, fo, K: int, T: int) -> np.ndarray:
     input_ = np.zeros((1, K, 1), np.int64)
     for t in range(T):
         probas, state = lm.step(input_, state)
-        for k in range(K):
-            pdf = probas[0, :, k, 0]
-            if use_native:
-                code = decoder.pull(native.build_cdf(pdf, 24))
-            else:
-                q_cdf = ac_mod.build_stable_quantized_cdf(pdf, 24, check=False)
-                code = decoder.pull(q_cdf)
-            if code is None:
+        pdfs = probas[0, :, :, 0].T  # [K, card]
+        if use_native:
+            # all K CDFs at step t depend only on codes < t → one batched
+            # native call per step (the AC pulls stay sequential inside)
+            syms = decoder.pull_batch(native.build_cdf_batch(pdfs, 24))
+            if len(syms) < K:
                 raise EOFError("The stream ended sooner than expected.")
-            frame[k, t] = code
+            frame[:, t] = syms
+        else:
+            for k in range(K):
+                q_cdf = ac_mod.build_stable_quantized_cdf(pdfs[k], 24,
+                                                          check=False)
+                code = decoder.pull(q_cdf)
+                if code is None:
+                    raise EOFError("The stream ended sooner than expected.")
+                frame[k, t] = code
         input_ = 1 + frame[None, :, t:t + 1]
     return frame
 

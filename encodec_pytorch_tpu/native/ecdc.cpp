@@ -283,4 +283,14 @@ void ecdc_build_cdf(const float* pdf, size_t card, int total_range_bits,
     }
 }
 
+// [n, card] pdfs -> [n, card] cdfs in one call (the per-timestep K-codebook
+// batch in the LM compression loop)
+void ecdc_build_cdf_batch(const float* pdfs, size_t n, size_t card,
+                          int total_range_bits, float roundoff, int min_range,
+                          int64_t* out) {
+    for (size_t i = 0; i < n; ++i)
+        ecdc_build_cdf(pdfs + i * card, card, total_range_bits, roundoff,
+                       min_range, out + i * card);
+}
+
 }  // extern "C"

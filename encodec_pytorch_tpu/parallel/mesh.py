@@ -57,8 +57,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = 'data'):
-    """Place a host numpy batch as a global array sharded over the mesh."""
-    return jax.device_put(batch, batch_sharding(mesh, axis))
+    """Place a host batch as a global array sharded over the mesh.
+
+    Single-process: a plain sharded ``device_put`` of the full global batch.
+    Multi-host: ``batch`` is this process's LOCAL slice (the loader shards
+    samples per process, the DistributedSampler analogue) and the global
+    array is assembled across hosts — each process contributes only the
+    shards that live on its addressable devices.
+    """
+    sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, batch)
+    return jax.device_put(batch, sharding)
 
 
 def assert_replicated(tree, atol: float = 0.0, sample_leaves: int = 4):

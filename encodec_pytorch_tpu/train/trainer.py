@@ -133,12 +133,24 @@ class Trainer:
         assert bs % self.n_devices == 0 or self.n_devices == 1, \
             f"batch_size {bs} must divide over {self.n_devices} devices"
         self.tensor_cut = int(config.datasets.tensor_cut)
-        self.trainloader = DataLoader(self.trainset, bs, shuffle=True,
+        # multi-host: each process loads a disjoint slice of the dataset and
+        # its share of the global batch; `shard_batch` assembles the global
+        # array from per-process shards (the reference's DistributedSampler
+        # analogue, train_multi_gpu.py:271-272)
+        n_proc = jax.process_count()
+        assert bs % n_proc == 0, \
+            f"batch_size {bs} must divide over {n_proc} processes"
+        local_bs = bs // n_proc
+        self.trainloader = DataLoader(self.trainset, local_bs, shuffle=True,
                                       fixed_length=self.tensor_cut,
-                                      seed=int(config.common.seed or 0))
-        self.testloader = DataLoader(self.testset, bs, shuffle=False,
+                                      seed=int(config.common.seed or 0),
+                                      shard_id=jax.process_index(),
+                                      num_shards=n_proc)
+        self.testloader = DataLoader(self.testset, local_bs, shuffle=False,
                                      fixed_length=self.tensor_cut,
-                                     seed=int(config.common.seed or 0))
+                                     seed=int(config.common.seed or 0),
+                                     shard_id=jax.process_index(),
+                                     num_shards=n_proc)
         logger.info("There are %d batches to train the EnCodec",
                     len(self.trainloader))
         logger.info("There are %d batches to test the EnCodec",
@@ -165,7 +177,10 @@ class Trainer:
                                    sample_rate=int(config.model.sample_rate),
                                    remat=remat)
         repl = replicated_sharding(self.mesh)
-        donate = (0,) if bool(config.tpu.get('donate_state', True)) else ()
+        donate_state = True
+        if 'tpu' in config:
+            donate_state = bool(config.tpu.get('donate_state', True))
+        donate = (0,) if donate_state else ()
         self.train_step = jax.jit(
             step_fn,
             in_shardings=(repl, batch_sharding(self.mesh), repl, repl),

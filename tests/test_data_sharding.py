@@ -1,0 +1,63 @@
+"""Multi-host data sharding: the loader's per-process sample sharding must
+partition each epoch disjointly and deterministically (the reference's
+DistributedSampler contract, train_multi_gpu.py:271-272), and `shard_batch`
+must produce a fully-sharded global array on the mesh."""
+
+import numpy as np
+
+from encodec_pytorch_tpu.data.dataset import DataLoader
+from encodec_pytorch_tpu.parallel.mesh import (batch_sharding, create_mesh,
+                                               shard_batch)
+
+
+class _IndexDataset:
+    """Returns [1, 8] arrays filled with the sample index."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return np.full((1, 8), float(i), np.float32)
+
+
+def _epoch_indices(loader, epoch):
+    loader.set_epoch(epoch)
+    seen = []
+    for batch in loader:
+        seen.extend(int(v) for v in batch[:, 0, 0])
+    return seen
+
+
+def test_shards_disjoint_and_cover():
+    ds = _IndexDataset(64)
+    loaders = [DataLoader(ds, 4, shuffle=True, seed=7, shard_id=s,
+                          num_shards=4, prefetch=0) for s in range(4)]
+    per_shard = [_epoch_indices(ld, 3) for ld in loaders]
+    assert all(len(ld) == 4 for ld in loaders)
+    assert all(len(ix) == 16 for ix in per_shard)
+    union = set().union(*[set(ix) for ix in per_shard])
+    assert union == set(range(64))  # disjoint cover
+    assert sum(len(ix) for ix in per_shard) == 64
+
+
+def test_shards_deterministic_across_epochs():
+    ds = _IndexDataset(40)
+    a = DataLoader(ds, 5, shuffle=True, seed=3, shard_id=1, num_shards=2,
+                   prefetch=0)
+    b = DataLoader(ds, 5, shuffle=True, seed=3, shard_id=1, num_shards=2,
+                   prefetch=0)
+    assert _epoch_indices(a, 2) == _epoch_indices(b, 2)
+    assert _epoch_indices(a, 2) != _epoch_indices(a, 5)  # reshuffles per epoch
+
+
+def test_shard_batch_places_global_array():
+    mesh = create_mesh(0)
+    n = int(mesh.devices.size)
+    batch = np.arange(n * 2 * 6, dtype=np.float32).reshape(n * 2, 1, 6)
+    arr = shard_batch(mesh, batch)
+    assert arr.shape == batch.shape
+    assert arr.sharding.is_equivalent_to(batch_sharding(mesh), arr.ndim)
+    np.testing.assert_array_equal(np.asarray(arr), batch)
