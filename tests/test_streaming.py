@@ -1,0 +1,145 @@
+"""Streaming inference: chunk-by-chunk output must EXACTLY match offline.
+
+The causal model admits exact streaming (docstring of streaming.py); these
+tests check codes equality and waveform closeness between the offline path
+(models/model.py eval encode/decode) and the chunked path with carried
+conv/LSTM/transpose state, across uneven chunk patterns.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from encodec_pytorch_tpu.models.model import EncodecModel
+from encodec_pytorch_tpu.streaming import StreamingCodec, StreamingSEANet
+
+
+def _small_model(n_filters=8, n_q=4):
+    model = EncodecModel._get_model(
+        [1.5, 3., 6.], 24_000, 1, causal=True, model_norm='weight_norm',
+        audio_normalize=False, segment=None, n_q=n_q, n_filters=n_filters)
+    variables = model.init(jax.random.PRNGKey(0), example_length=2400)
+    variables['quantizer'] = variables['quantizer']._replace(
+        inited=jnp.ones_like(variables['quantizer'].inited),
+        embed=jax.random.normal(jax.random.PRNGKey(1),
+                                variables['quantizer'].embed.shape))
+    variables['quantizer'] = variables['quantizer']._replace(
+        embed_avg=variables['quantizer'].embed)
+    model.set_target_bandwidth(3.)
+    return model, variables
+
+
+def _chunks(total, first, hop):
+    """Uneven chunk pattern: first, then 1, 3, 2, 1, ... hops."""
+    sizes = [first]
+    pattern = [1, 3, 2, 1, 4]
+    i = 0
+    while sum(sizes) < total:
+        n = min(pattern[i % len(pattern)] * hop, total - sum(sizes))
+        sizes.append(n)
+        i += 1
+    return sizes
+
+
+def test_streaming_encoder_matches_offline():
+    model, variables = _small_model()
+    enc = StreamingSEANet(model.encoder)
+    hop = model.encoder.hop_length
+    T = hop * 40
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, T, 1)) * 0.3
+
+    offline = model.encoder.apply(
+        {'params': variables['params']['encoder']}, x)
+
+    state = enc.init_state(2)
+    outs = []
+    pos = 0
+    for i, n in enumerate(_chunks(T, enc.min_first_chunk
+                                  + (-enc.min_first_chunk) % hop, hop)):
+        y, state = enc.apply(variables['params']['encoder'], state,
+                             x[:, pos:pos + n], first=(i == 0))
+        outs.append(y)
+        pos += n
+    streamed = jnp.concatenate(outs, axis=1)
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(offline),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_streaming_decoder_matches_offline():
+    model, variables = _small_model()
+    dec = StreamingSEANet(model.decoder)
+    hop = model.encoder.hop_length
+    Tl = 40
+    z = jax.random.normal(jax.random.PRNGKey(3), (1, Tl, 128)) * 0.5
+
+    offline = model.decoder.apply(
+        {'params': variables['params']['decoder']}, z)
+
+    state = dec.init_state(1)
+    outs = []
+    pos = 0
+    for i, n in enumerate(_chunks(Tl, dec.min_first_chunk, 1)):
+        y, state = dec.apply(variables['params']['decoder'], state,
+                             z[:, pos:pos + n], first=(i == 0))
+        assert y.shape[1] == n * hop
+        outs.append(y)
+        pos += n
+    streamed = jnp.concatenate(outs, axis=1)
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(offline),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_streaming_codec_end_to_end():
+    """Full chunked encode→quantize→decode equals the offline model call,
+    including identical code indices."""
+    model, variables = _small_model()
+    codec = StreamingCodec(model)
+    hop = codec.hop
+    T = hop * 32
+    wav = (0.5 * jnp.sin(jnp.arange(T) / 24000.0 * 2 * np.pi * 440)
+           ).reshape(1, 1, T).astype(jnp.float32)
+
+    frames = model.encode(variables, wav)
+    offline_codes = frames[0][0]
+    offline_wav = model.decode(variables, frames)[:, :, :T]
+
+    enc_state, dec_state = codec.init_state(1)
+    first = codec.min_first_chunk_samples
+    codes_chunks, wav_chunks = [], []
+    pos = 0
+    for i, n in enumerate(_chunks(T, first, hop)):
+        codes, enc_state = codec.encode_chunk(
+            variables, enc_state, wav[:, :, pos:pos + n], first=(i == 0))
+        out, dec_state = codec.decode_chunk(
+            variables, dec_state, codes, first=(i == 0))
+        codes_chunks.append(codes)
+        wav_chunks.append(out)
+        pos += n
+    streamed_codes = jnp.concatenate(codes_chunks, axis=2)
+    streamed_wav = jnp.concatenate(wav_chunks, axis=2)
+
+    np.testing.assert_array_equal(np.asarray(streamed_codes),
+                                  np.asarray(offline_codes))
+    np.testing.assert_allclose(np.asarray(streamed_wav),
+                               np.asarray(offline_wav),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_streaming_rejects_bad_chunk():
+    model, variables = _small_model()
+    codec = StreamingCodec(model)
+    enc_state, _ = codec.init_state(1)
+    with pytest.raises(AssertionError, match='multiple'):
+        codec.encode_chunk(variables, enc_state,
+                           jnp.zeros((1, 1, 321)), first=True)
+
+
+def test_streaming_rejects_normalized_model():
+    model = EncodecModel._get_model(
+        [3.], 24_000, 1, causal=True, model_norm='weight_norm',
+        audio_normalize=True, segment=None, n_q=2, n_filters=4)
+    with pytest.raises(AssertionError, match='normalize'):
+        StreamingCodec(model)
