@@ -54,6 +54,14 @@ class SEANetResnetBlock(nn.Module):
     def __call__(self, x):
         act = _act(self.activation, self.activation_params or {'alpha': 1.0})
         hidden = self.dim // self.compress
+        # Narrow-channel stages compute the whole block in NCT layout (time on
+        # lanes): one transpose in/out, intermediates stay compact in HBM —
+        # measured 4× on the C=32/T=720k block (docs/PERF_NOTES.md). The param
+        # tree is identical; only the lowering changes.
+        layout = ('NCT' if self.dim < 128 and hidden >= 1
+                  and self.norm in ('none', 'weight_norm') else 'NTC')
+        if layout == 'NCT':
+            x = jnp.swapaxes(x, 1, 2)
         y = x
         n = len(self.kernel_sizes)
         for i, (kernel_size, dilation) in enumerate(zip(self.kernel_sizes, self.dilations)):
@@ -63,14 +71,19 @@ class SEANetResnetBlock(nn.Module):
             # torch index inside block sequential: 2*i + 1 (ELU at 2*i)
             y = SConv1d(in_chs, out_chs, kernel_size=kernel_size, dilation=dilation,
                         norm=self.norm, causal=self.causal, pad_mode=self.pad_mode,
-                        dtype=self.dtype, name=f'block_{2 * i + 1}')(y)
+                        layout=layout, dtype=self.dtype,
+                        name=f'block_{2 * i + 1}')(y)
         if self.true_skip:
             shortcut = x
         else:
             shortcut = SConv1d(self.dim, self.dim, kernel_size=1, norm=self.norm,
                                causal=self.causal, pad_mode=self.pad_mode,
-                               dtype=self.dtype, name='shortcut')(x)
-        return shortcut + y
+                               layout=layout, dtype=self.dtype,
+                               name='shortcut')(x)
+        out = shortcut + y
+        if layout == 'NCT':
+            out = jnp.swapaxes(out, 1, 2)
+        return out
 
 
 class SEANetEncoder(nn.Module):
@@ -107,9 +120,17 @@ class SEANetEncoder(nn.Module):
         act = _act(self.activation, self.activation_params or {'alpha': 1.0})
         idx = 0
         mult = 1
+        # entry conv in NCT: its input is C=1 (127/128 lanes wasted in NTC)
+        entry_layout = ('NCT' if self.n_filters < 128
+                        and self.norm in ('none', 'weight_norm') else 'NTC')
+        if entry_layout == 'NCT':
+            x = jnp.swapaxes(x, 1, 2)
         x = SConv1d(self.channels, mult * self.n_filters, self.kernel_size,
                     norm=self.norm, causal=self.causal, pad_mode=self.pad_mode,
-                    dtype=self.dtype, name=f'layer_{idx}')(x)
+                    layout=entry_layout, dtype=self.dtype,
+                    name=f'layer_{idx}')(x)
+        if entry_layout == 'NCT':
+            x = jnp.swapaxes(x, 1, 2)
         idx += 1
         for ratio in reversed(list(self.ratios)):
             for j in range(self.n_residual_layers):
@@ -191,11 +212,21 @@ class SEANetDecoder(nn.Module):
         for ratio in self.ratios:
             x = act(x)
             idx += 1
-            x = SConvTranspose1d(mult * self.n_filters, mult * self.n_filters // 2,
+            out_ch = mult * self.n_filters // 2
+            # narrow upsamples in NCT (time on lanes): out channels < 128
+            # waste lanes in NTC at the decoder's largest time extents
+            tr_layout = ('NCT' if out_ch < 128
+                         and self.norm in ('none', 'weight_norm') else 'NTC')
+            if tr_layout == 'NCT':
+                x = jnp.swapaxes(x, 1, 2)
+            x = SConvTranspose1d(mult * self.n_filters, out_ch,
                                  kernel_size=ratio * 2, stride=ratio,
                                  norm=self.norm, causal=self.causal,
                                  trim_right_ratio=self.trim_right_ratio,
-                                 dtype=self.dtype, name=f'layer_{idx}')(x)
+                                 layout=tr_layout, dtype=self.dtype,
+                                 name=f'layer_{idx}')(x)
+            if tr_layout == 'NCT':
+                x = jnp.swapaxes(x, 1, 2)
             idx += 1
             for j in range(self.n_residual_layers):
                 x = SEANetResnetBlock(
@@ -212,9 +243,17 @@ class SEANetDecoder(nn.Module):
 
         x = act(x)
         idx += 1
+        # exit conv in NCT: C=32 in, C=1 out — both lane-starved in NTC
+        exit_layout = ('NCT' if self.n_filters < 128
+                       and self.norm in ('none', 'weight_norm') else 'NTC')
+        if exit_layout == 'NCT':
+            x = jnp.swapaxes(x, 1, 2)
         x = SConv1d(self.n_filters, self.channels, self.last_kernel_size,
                     norm=self.norm, causal=self.causal, pad_mode=self.pad_mode,
-                    dtype=self.dtype, name=f'layer_{idx}')(x)
+                    layout=exit_layout, dtype=self.dtype,
+                    name=f'layer_{idx}')(x)
+        if exit_layout == 'NCT':
+            x = jnp.swapaxes(x, 1, 2)
         if self.final_activation is not None:
             x = _act(self.final_activation, self.final_activation_params or {})(x)
         return x

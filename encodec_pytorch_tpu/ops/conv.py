@@ -86,6 +86,7 @@ class NormConv1d(nn.Module):
     causal: bool = False
     norm: str = 'none'
     norm_kwargs: Dict[str, Any] = None
+    layout: str = 'NTC'   # 'NCT': time-on-lanes tap-einsum lowering
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -113,6 +114,34 @@ class NormConv1d(nn.Module):
         else:
             raise NotImplementedError(
                 f"norm '{self.norm}' is not supported")
+
+        if self.layout == 'NCT':
+            # Narrow-channel fast path (docs/PERF_NOTES.md "NCT-layout
+            # narrow-channel stages"): with C < 128 the (8,128) HBM tiling
+            # pads NTC tensors up to 4-8× on the lane dim; computing in
+            # [B, C, T] keeps the lanes dense (time-minor). The K-tap VALID
+            # conv decomposes into K shifted [C_out, C_in] einsums — MXU
+            # matmuls with T on lanes. Measured 4× on the C=32 resblock.
+            assert self.stride == 1 and self.groups == 1, \
+                'NCT lowering supports stride=1, groups=1 convs'
+            assert self.norm in ('none', 'weight_norm'), \
+                'NCT lowering supports none/weight_norm'
+            w_oim = jnp.transpose(kernel, (2, 1, 0))  # [out, in, k]
+            t_out = x.shape[2] - (self.kernel_size - 1) * self.dilation
+            xd = x.astype(self.dtype)
+            y = None
+            for m in range(self.kernel_size):
+                o = m * self.dilation
+                term = jnp.einsum(
+                    'oi,bit->bot', w_oim[:, :, m].astype(self.dtype),
+                    jax.lax.slice_in_dim(xd, o, o + t_out, axis=2),
+                    preferred_element_type=jnp.float32)
+                y = term if y is None else y + term
+            if self.use_bias:
+                bias = self.param('bias', _uniform_init(bound),
+                                  (self.out_channels,), jnp.float32)
+                y = y + bias[:, None]
+            return y
 
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
@@ -207,26 +236,29 @@ class SConv1d(nn.Module):
     norm: str = 'none'
     norm_kwargs: Dict[str, Any] = None
     pad_mode: str = 'reflect'
+    layout: str = 'NTC'   # 'NCT' expects/returns [B, C, T] (narrow-C fast path)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        length = x.shape[1]
+        time_axis = 2 if self.layout == 'NCT' else 1
+        length = x.shape[time_axis]
         padding_total = (self.kernel_size - 1) * self.dilation - (self.stride - 1)
         extra_padding = get_extra_padding_for_conv1d(
             length, self.kernel_size, self.stride, padding_total)
         if self.causal:
-            x = pad1d(x, (padding_total, extra_padding), mode=self.pad_mode)
+            x = pad1d(x, (padding_total, extra_padding), mode=self.pad_mode,
+                      axis=time_axis)
         else:
             padding_right = padding_total // 2
             padding_left = padding_total - padding_right
             x = pad1d(x, (padding_left, padding_right + extra_padding),
-                      mode=self.pad_mode)
+                      mode=self.pad_mode, axis=time_axis)
         return NormConv1d(self.in_channels, self.out_channels, self.kernel_size,
                           stride=self.stride, dilation=self.dilation,
                           groups=self.groups, use_bias=self.use_bias,
                           causal=self.causal, norm=self.norm, dtype=self.dtype,
-                          name='conv')(x)
+                          layout=self.layout, name='conv')(x)
 
 
 class SConvTranspose1d(nn.Module):
@@ -247,6 +279,7 @@ class SConvTranspose1d(nn.Module):
     norm: str = 'none'
     trim_right_ratio: float = 1.
     norm_kwargs: Dict[str, Any] = None
+    layout: str = 'NTC'   # 'NCT' expects/returns [B, C, T] (narrow-C fast path)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -278,6 +311,43 @@ class SConvTranspose1d(nn.Module):
             raise NotImplementedError(f"norm '{self.norm}' unsupported")
 
         k, s = self.kernel_size, self.stride
+        if self.layout == 'NCT':
+            # Narrow-channel fast path: the depth-to-space lowering expressed
+            # as r tap einsums in [B, C, T] (time on lanes). Same output as
+            # the NTC branch below; measured ~1.4× on the 64→32 upsample.
+            assert s > 1 and k % s == 0, 'NCT conv-transpose needs k = r·s'
+            assert self.norm in ('none', 'weight_norm'), \
+                'NCT lowering supports none/weight_norm'
+            r = k // s
+            Q = x.shape[2]
+            K4 = kernel.reshape(r, s, self.out_channels, self.in_channels)[::-1]
+            Kt = jnp.transpose(K4, (0, 3, 2, 1))   # [r, in, out, s]
+            xp = jnp.pad(x, ((0, 0), (0, 0), (r - 1, r - 1))).astype(self.dtype)
+            qout = Q + r - 1
+            y = None
+            for j in range(r):
+                term = jnp.einsum(
+                    'iop,biq->bopq', Kt[j].astype(self.dtype),
+                    jax.lax.slice_in_dim(xp, j, j + qout, axis=2),
+                    preferred_element_type=jnp.float32)
+                y = term if y is None else y + term
+            # [B, out, s, qout] → [B, out, qout, s] → [B, out, qout·s]
+            y = jnp.swapaxes(y, 2, 3).reshape(
+                x.shape[0], self.out_channels, qout * s)
+            if self.use_bias:
+                bias = self.param('bias', _uniform_init(bound),
+                                  (self.out_channels,), jnp.float32)
+                y = y + bias[:, None]
+            padding_total = k - s
+            if self.causal:
+                padding_right = math.ceil(padding_total * self.trim_right_ratio)
+                padding_left = padding_total - padding_right
+            else:
+                padding_right = padding_total // 2
+                padding_left = padding_total - padding_right
+            end = y.shape[2] - padding_right
+            return y[:, :, padding_left:end]
+
         if s > 1 and k % s == 0:
             # TPU-native lowering: a stride-s transposed conv with k = r·s is
             # exactly a stride-1 conv producing s·C_out channels followed by

@@ -20,6 +20,7 @@ prefers; the reference uses torch NCT.
 import math
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -44,8 +45,8 @@ def pad_for_conv1d(x: jnp.ndarray, kernel_size: int, stride: int,
 
 
 def pad1d(x: jnp.ndarray, paddings: Tuple[int, int], mode: str = 'zero',
-          value: float = 0.) -> jnp.ndarray:
-    """Pad the time axis of an NTC tensor.
+          value: float = 0., axis: int = 1) -> jnp.ndarray:
+    """Pad the time axis of an NTC tensor (``axis=2`` for NCT layouts).
 
     ``mode='reflect'`` handles inputs shorter than the requested padding by
     inserting temporary zero right-padding before the reflection, then
@@ -53,17 +54,22 @@ def pad1d(x: jnp.ndarray, paddings: Tuple[int, int], mode: str = 'zero',
     """
     padding_left, padding_right = paddings
     assert padding_left >= 0 and padding_right >= 0, (padding_left, padding_right)
-    length = x.shape[1]
-    widths = ((0, 0), (padding_left, padding_right), (0, 0))
+    length = x.shape[axis]
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (padding_left, padding_right)
+    end_widths = [(0, 0)] * x.ndim
     if mode == 'reflect':
         max_pad = max(padding_left, padding_right)
         extra_pad = 0
         if length <= max_pad:
             extra_pad = max_pad - length + 1
-            x = jnp.pad(x, ((0, 0), (0, extra_pad), (0, 0)))
+            end_widths[axis] = (0, extra_pad)
+            x = jnp.pad(x, end_widths)
         padded = jnp.pad(x, widths, mode='reflect')
-        end = padded.shape[1] - extra_pad
-        return padded[:, :end, :]
+        if extra_pad:
+            padded = jax.lax.slice_in_dim(
+                padded, 0, padded.shape[axis] - extra_pad, axis=axis)
+        return padded
     elif mode in ('zero', 'constant'):
         return jnp.pad(x, widths, constant_values=value)
     else:
