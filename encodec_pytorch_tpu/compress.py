@@ -45,17 +45,25 @@ def get_lm_model(model: EncodecModel, checkpoint: tp.Optional[str] = None) -> LM
     """The associated entropy LM (reference model.py:221-240).
 
     The reference downloads pretrained LM weights; this environment has no
-    egress, so a local torch checkpoint path must be supplied (converted via
-    lm_params_from_torch); without one, a ValueError mirrors the reference's
-    unsupported-model error.
+    egress, so a local checkpoint path must be supplied — either a torch
+    ``.th`` state dict (converted via lm_params_from_torch) or a native
+    self-describing msgpack from the LM trainer (train/lm_trainer.py).
+    Without one, a ValueError mirrors the reference's unsupported-model error.
     """
-    lm_def = LMModel(n_q=model.quantizer.n_q, card=model.quantizer.bins,
-                     num_layers=5, dim=200,
-                     past_context=int(3.5 * model.frame_rate))
     if checkpoint is None:
         raise ValueError(
             "No local LM checkpoint provided (pretrained download needs "
-            "network). Pass lm=LM(...) or checkpoint=<path to torch .th>.")
+            "network). Pass lm=LM(...) or checkpoint=<path to torch .th or "
+            "native .msgpack>.")
+    if checkpoint.endswith('.msgpack'):
+        from .train.lm_trainer import load_lm_checkpoint
+        lm_def, params = load_lm_checkpoint(checkpoint)
+        assert lm_def.card == model.quantizer.bins, \
+            (lm_def.card, model.quantizer.bins)
+        return LM(lm_def, params)
+    lm_def = LMModel(n_q=model.quantizer.n_q, card=model.quantizer.bins,
+                     num_layers=5, dim=200,
+                     past_context=int(3.5 * model.frame_rate))
     import torch
 
     from .models.lm import lm_params_from_torch

@@ -32,9 +32,11 @@ class LMModel(nn.Module):
         return self.transformer_def().init_state(batch)
 
     @nn.compact
-    def __call__(self, indices: jnp.ndarray, state=None):
+    def __call__(self, indices: jnp.ndarray, state=None,
+                 return_logits: bool = False):
         """indices: [B, K, T] (1 + actual code, 0 = missing) →
-        (probabilities [B, card, K, T], new_state, new_offset)."""
+        (probabilities [B, card, K, T], new_state, new_offset).
+        ``return_logits=True`` skips the softmax (for the training loss)."""
         B, K, T = indices.shape
         input_ = sum(
             nn.Embed(self.card + 1, self.dim, name=f'emb_{k}')(indices[:, k])
@@ -44,6 +46,8 @@ class LMModel(nn.Module):
             [nn.Dense(self.card, name=f'linear_{k}')(out) for k in range(K)],
             axis=1)                      # [B, K, T, card]
         logits = jnp.transpose(logits, (0, 3, 1, 2))   # [B, card, K, T]
+        if return_logits:
+            return logits, new_state, offset
         return jax.nn.softmax(logits, axis=1), new_state, offset
 
 

@@ -69,9 +69,15 @@ def init_train_state(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
 def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
                      balancer: Balancer, gen_schedule, disc_schedule,
                      disc_prob: float, sample_rate: int,
-                     remat: bool = False):
+                     remat: bool = False, balancer_vjp_chunk: int = 1):
     """Returns ``step_fn(state, batch, rng, disc_allowed) -> (state, metrics)``
-    (not yet jitted — the trainer jits it with shardings/donation)."""
+    (not yet jitted — the trainer jits it with shardings/donation).
+
+    ``balancer_vjp_chunk``: how many of the 4 per-loss VJPs to batch per
+    pass via vmap (1 = fully sequential, the reference's 4 autograd.grad
+    calls; 4 = one batched VJP, holds 4× the disc-backward activations —
+    measured to OOM a 16 GB chip at batch 12×72000; 2 = middle ground).
+    """
     opt = make_optimizers()
 
     def step_fn(state: TrainState, batch: jnp.ndarray, rng: jax.Array,
@@ -98,15 +104,31 @@ def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
 
         loss_vals, loss_vjp = jax.vjp(losses_of, output)
         names = sorted(loss_vals.keys())
-        # Sequential per-loss VJPs (the reference's 4 autograd.grad calls,
-        # balancer.py:87). A vmapped batched VJP was measured: it cuts
-        # compile time 2.5x but holds 4x the disc-backward activations live
-        # and OOMs a 16 GB chip at batch 12 x 72000 — rejected.
-        grads_per_loss = {}
-        for name in names:
-            cot = {k: (jnp.float32(1.0) if k == name else jnp.float32(0.0))
-                   for k in names}
-            grads_per_loss[name], = loss_vjp(cot)
+        if balancer_vjp_chunk > 1:
+            # chunked batched VJPs: vmap over `chunk` one-hot cotangents at a
+            # time, lax.map over the chunks (memory = chunk × one backward)
+            n = len(names)
+            assert n % balancer_vjp_chunk == 0, (n, balancer_vjp_chunk)
+            eye = jnp.eye(n, dtype=jnp.float32).reshape(
+                n // balancer_vjp_chunk, balancer_vjp_chunk, n)
+
+            def one(cvec):
+                cot = {k: cvec[i] for i, k in enumerate(names)}
+                return loss_vjp(cot)[0]
+
+            stacked = jax.lax.map(jax.vmap(one), eye)
+            stacked = stacked.reshape(n, *stacked.shape[2:])
+            grads_per_loss = {name: stacked[i] for i, name in enumerate(names)}
+        else:
+            # Sequential per-loss VJPs (the reference's 4 autograd.grad calls,
+            # balancer.py:87). A fully vmapped VJP was measured: it cuts
+            # compile time 2.5x but holds 4x the disc-backward activations
+            # live and OOMs a 16 GB chip at batch 12 x 72000 — rejected.
+            grads_per_loss = {}
+            for name in names:
+                cot = {k: (jnp.float32(1.0) if k == name else jnp.float32(0.0))
+                       for k in names}
+                grads_per_loss[name], = loss_vjp(cot)
 
         out_grad, new_balancer, bal_metrics = balancer(grads_per_loss,
                                                        state.balancer)
