@@ -161,6 +161,45 @@ def seanet_params_from_torch(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return params
 
 
+def msstftd_params_from_torch(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Convert a torch MultiScaleSTFTDiscriminator ``state_dict``
+    (reference msstftd.py:108-149; keys ``discriminators.{i}.convs.{j}.conv.*``
+    and ``discriminators.{i}.conv_post.conv.*``) into our flax param tree
+    (``disc_{i}/conv_{j}`` and ``disc_{i}/conv_post``).
+
+    The entry conv (j=0) is un-normed (plain ``weight``) matching the
+    reference default; the rest are weight-normed (``weight_v``/``weight_g``).
+    """
+    params: Dict[str, Any] = {}
+    for key, val in sd.items():
+        v = np.asarray(val)
+        toks = key.split('.')
+        assert toks[0] == 'discriminators', key
+        scale = f'disc_{toks[1]}'
+        if toks[2] == 'spec_transform':
+            continue  # STFT window buffer — not a parameter
+        if toks[2] == 'convs':
+            name = f'conv_{toks[3]}'
+            assert toks[4] == 'conv', key
+            leaf = toks[5]
+        else:
+            assert toks[2] == 'conv_post', key
+            name = 'conv_post'
+            assert toks[3] == 'conv', key
+            leaf = toks[4]
+        if leaf == 'weight_v':
+            _set_path(params, [scale, name, 'v'], conv2d_weight(v))
+        elif leaf == 'weight_g':
+            _set_path(params, [scale, name, 'g'], v.reshape(1, 1, 1, -1))
+        elif leaf == 'weight':
+            _set_path(params, [scale, name, 'kernel'], conv2d_weight(v))
+        elif leaf == 'bias':
+            _set_path(params, [scale, name, 'bias'], v)
+        else:
+            raise ValueError(f'unparsed key {key}')
+    return params
+
+
 def rvq_state_from_torch(sd: Dict[str, np.ndarray], n_q: int):
     """Convert torch RVQ buffers (``layers.{k}._codebook.{inited,cluster_size,
     embed,embed_avg}``) into stacked CodebookState arrays.

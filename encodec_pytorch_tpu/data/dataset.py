@@ -167,11 +167,14 @@ class DataLoader:
             return
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         sentinel = object()
+        error: list = []
 
         def worker():
             try:
                 for item in gen():
                     q.put(item)
+            except BaseException as exc:  # re-raised on the consumer side
+                error.append(exc)
             finally:
                 q.put(sentinel)
 
@@ -180,5 +183,7 @@ class DataLoader:
         while True:
             item = q.get()
             if item is sentinel:
+                if error:
+                    raise error[0]
                 break
             yield item

@@ -7,25 +7,77 @@ balancer EMA — is one msgpack pytree (flax.serialization) plus a tiny JSON
 sidecar with the epoch/step, so resume is exact (SURVEY.md §5: codebook
 buffers are first-class checkpoint state). Schedules are pure functions of
 the step, so there is no scheduler state to store.
+
+Writes are ATOMIC (tmp file + rename) so a preemption mid-write can never
+corrupt the newest checkpoint, and optionally ASYNC: the device→host fetch
+is synchronous (the train step donates the state buffers, so the snapshot
+must complete before the next step), but serialization + disk IO happen on
+a background writer thread. ``wait_pending()`` joins outstanding writes —
+called automatically before each new save and by the trainer on shutdown.
 """
 
 import json
 import os
+import threading
 from typing import Optional, Tuple
 
 import jax
 import numpy as np
 from flax import serialization
 
+_pending_lock = threading.Lock()
+_pending: list = []
 
-def save_checkpoint(path: str, state, epoch: int):
-    """Write ``<path>`` (msgpack) + ``<path>.meta.json``."""
+
+def _write_files(path: str, blob: bytes, meta: dict):
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        f.write(blob)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)  # atomic on POSIX
+    with open(path + '.meta.json.tmp', 'w') as f:
+        json.dump(meta, f)
+    os.replace(path + '.meta.json.tmp', path + '.meta.json')
+
+
+def wait_pending():
+    """Join all outstanding async checkpoint writes (re-raises failures)."""
+    with _pending_lock:
+        threads = list(_pending)
+        _pending.clear()
+    for t, errbox in threads:
+        t.join()
+        if errbox:
+            raise errbox[0]
+
+
+def save_checkpoint(path: str, state, epoch: int, async_write: bool = False):
+    """Write ``<path>`` (msgpack) + ``<path>.meta.json`` atomically.
+
+    ``async_write=True`` returns once the device→host snapshot is taken and
+    performs serialization + IO on a background thread (joined by the next
+    save or ``wait_pending()``).
+    """
     os.makedirs(os.path.dirname(os.path.abspath(path)) or '.', exist_ok=True)
+    wait_pending()  # at most one write in flight; surfaces earlier IO errors
     host_state = jax.device_get(state)
-    with open(path, 'wb') as f:
-        f.write(serialization.to_bytes(host_state))
-    with open(path + '.meta.json', 'w') as f:
-        json.dump({'epoch': int(epoch), 'step': int(np.asarray(host_state.step))}, f)
+    meta = {'epoch': int(epoch), 'step': int(np.asarray(host_state.step))}
+    if not async_write:
+        _write_files(path, serialization.to_bytes(host_state), meta)
+        return
+    errbox: list = []
+
+    def worker():
+        try:
+            _write_files(path, serialization.to_bytes(host_state), meta)
+        except BaseException as exc:
+            errbox.append(exc)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    with _pending_lock:
+        _pending.append((t, errbox))
 
 
 def load_checkpoint(path: str, template) -> Tuple[object, int]:

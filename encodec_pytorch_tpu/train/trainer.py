@@ -27,7 +27,7 @@ from ..parallel.mesh import (batch_sharding, create_mesh, initialize_distributed
                              replicated_sharding, shard_batch)
 from ..utils import count_parameters, save_audio, set_seed
 from .balancer import Balancer
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import load_checkpoint, save_checkpoint, wait_pending
 from .schedule import warmup_cosine_schedule
 from .step import build_eval_step, build_train_step, init_train_state
 
@@ -169,13 +169,16 @@ class Trainer:
         self.disc_prob = parse_probability(config.model.train_discriminator)
 
         remat = False
+        vjp_chunk = 1
         if 'tpu' in config:
             remat = bool(config.tpu.get('remat', False))
+            vjp_chunk = int(config.tpu.get('balancer_vjp_chunk', 1))
         step_fn = build_train_step(self.model, self.disc, self.balancer,
                                    gen_sched, disc_sched,
                                    disc_prob=self.disc_prob,
                                    sample_rate=int(config.model.sample_rate),
-                                   remat=remat)
+                                   remat=remat,
+                                   balancer_vjp_chunk=vjp_chunk)
         repl = replicated_sharding(self.mesh)
         donate_state = True
         if 'tpu' in config:
@@ -271,11 +274,15 @@ class Trainer:
                 self._profiling = False
                 logger.info('wrote profiler trace to %s', self.profile_dir)
             acc_count += 1
-            for k, v in metrics.items():
-                acc[k] = acc.get(k, 0.0) + float(v)
+            # accumulate on device — a per-step float(v) would force a
+            # blocking host round-trip every step and stall the dispatch
+            # pipeline; only the log-interval fetch below synchronizes
+            acc = (metrics if not acc else
+                   jax.tree.map(jnp.add, acc, metrics))
             if idx % log_interval == 0 or idx == data_length - 1:
                 denom = acc_count
-                avg = {k: v / denom for k, v in acc.items()}
+                host_acc = jax.device_get(acc)
+                avg = {k: float(v) / denom for k, v in host_acc.items()}
                 dt = (time.time() - t0) / denom
                 logger.info(
                     "Epoch %d %d/%d\tAvg loss_G: %.4f\tAvg loss_W: %.4f\t"
@@ -344,7 +351,10 @@ class Trainer:
         cfg = self.config
         path = (f"{cfg.checkpoint.save_location}epoch{epoch}_"
                 f"lr{cfg.optimization.lr}.ckpt")
-        save_checkpoint(path, self.state, epoch)
+        async_write = True
+        if 'tpu' in cfg:
+            async_write = bool(cfg.tpu.get('async_checkpoint', True))
+        save_checkpoint(path, self.state, epoch, async_write=async_write)
         logger.info('saved checkpoint %s', path)
         if self.wandb:
             try:
@@ -369,6 +379,7 @@ class Trainer:
                            'checkpoint', signum)
             try:
                 self.save(current_epoch[0])
+                wait_pending()  # the write must land before we die
             finally:
                 raise SystemExit(128 + signum)
 
@@ -385,6 +396,7 @@ class Trainer:
                     self.save(epoch)
         finally:
             signal.signal(signal.SIGTERM, old_handler)
+            wait_pending()
             if self.writer:
                 self.writer.close()
             if self.wandb:

@@ -61,3 +61,27 @@ def test_shard_batch_places_global_array():
     assert arr.shape == batch.shape
     assert arr.sharding.is_equivalent_to(batch_sharding(mesh), arr.ndim)
     np.testing.assert_array_equal(np.asarray(arr), batch)
+
+
+def test_loader_prefetch_propagates_worker_errors():
+    """A dataset error inside the prefetch thread must surface to the
+    consumer, not silently truncate the epoch."""
+    import pytest
+
+    from encodec_pytorch_tpu.data.dataset import DataLoader
+
+    class Boom:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i >= 4:
+                raise RuntimeError('bad sample')
+            import numpy as np
+            return np.zeros((1, 100), np.float32)
+
+    loader = DataLoader(Boom(), batch_size=2, shuffle=False,
+                        fixed_length=100, prefetch=2)
+    with pytest.raises(RuntimeError, match='bad sample'):
+        for _ in loader:
+            pass

@@ -41,3 +41,40 @@ def test_discriminator_custom_scales_and_grad():
 
     g = jax.grad(loss, argnums=1)(params, x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_discriminator_numeric_parity_vs_reference():
+    """Full numeric parity vs the reference torch discriminator
+    (msstftd.py:28-149) with converted weights; the STFT front-end stub is
+    the exact torchaudio composition verified in test_losses.py."""
+    from ref_compat import install_audio_stubs, ref_path, to_numpy_sd
+    install_audio_stubs()
+    ref_path()
+    import msstftd as ref_msstftd
+    import torch
+
+    torch.manual_seed(0)
+    ref = ref_msstftd.MultiScaleSTFTDiscriminator(
+        filters=8, n_ffts=[512, 256], hop_lengths=[128, 64],
+        win_lengths=[512, 256])
+    ref.eval()
+    x = torch.randn(2, 1, 4000)
+    with torch.no_grad():
+        logits_t, fmaps_t = ref(x)
+
+    from encodec_pytorch_tpu.convert import msstftd_params_from_torch
+    params = msstftd_params_from_torch(to_numpy_sd(ref))
+    disc = MultiScaleSTFTDiscriminator(
+        filters=8, n_ffts=(512, 256), hop_lengths=(128, 64),
+        win_lengths=(512, 256))
+    logits_j, fmaps_j = disc.apply({'params': params}, jnp.asarray(x.numpy()))
+
+    def nchw(a):  # ours is NHWC
+        return np.transpose(np.asarray(a), (0, 3, 1, 2))
+
+    for lt, lj in zip(logits_t, logits_j):
+        np.testing.assert_allclose(nchw(lj), lt.numpy(), atol=2e-4, rtol=1e-3)
+    for fm_t, fm_j in zip(fmaps_t, fmaps_j):
+        for a, b in zip(fm_t, fm_j):
+            np.testing.assert_allclose(nchw(b), a.numpy(), atol=2e-4,
+                                       rtol=1e-3)

@@ -107,3 +107,29 @@ def test_checkpoint_roundtrip_exact(dataset_dir, tmp_path):
     assert epoch == 7
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_async_atomic(dataset_dir, tmp_path):
+    import os
+
+    import jax
+    from encodec_pytorch_tpu.models.model import EncodecModel
+    from encodec_pytorch_tpu.models.msstftd import MultiScaleSTFTDiscriminator
+    from encodec_pytorch_tpu.train.balancer import Balancer
+    from encodec_pytorch_tpu.train.checkpoint import wait_pending
+    from encodec_pytorch_tpu.train.step import init_train_state
+    model = EncodecModel._get_model([1.5], 24000, 1, n_q=2, n_filters=4)
+    disc = MultiScaleSTFTDiscriminator(filters=4, n_ffts=(128,),
+                                       hop_lengths=(32,), win_lengths=(128,))
+    bal = Balancer({'l_t': 1.0})
+    state = init_train_state(model, disc, bal, jax.random.PRNGKey(1), 2400)
+    path = str(tmp_path / 'async.ckpt')
+    save_checkpoint(path, state, epoch=3, async_write=True)
+    wait_pending()
+    # no tmp leftovers (atomic rename), sidecar present, exact restore
+    assert not os.path.exists(path + '.tmp')
+    assert os.path.exists(path + '.meta.json')
+    restored, epoch = load_checkpoint(path, state)
+    assert epoch == 3
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
