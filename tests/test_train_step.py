@@ -86,3 +86,33 @@ def test_train_step_data_parallel_8_devices():
         state_1d, batch_1d, jax.random.PRNGKey(2), jnp.asarray(True))
     np.testing.assert_allclose(float(metrics['loss_g']),
                                float(metrics_1d['loss_g']), rtol=1e-4)
+
+
+def test_balancer_vjp_chunk_and_remat_equivalence():
+    """chunk ∈ {2, 4} and remat recompute the same math as the sequential
+    baseline — identical metrics and parameter updates (fp tolerance)."""
+    model, disc, _, state = _tiny_setup()
+    balancer = Balancer({'l_t': 0.1, 'l_f': 1, 'l_g': 3, 'l_feat': 3})
+    sched = warmup_cosine_schedule(3e-4, max_iter=100, eta_ratio=0.1,
+                                   warmup_iter=10, warmup_ratio=1e-4)
+    batch = jax.random.normal(jax.random.PRNGKey(5), (2, 1, 1200)) * 0.1
+    rng = jax.random.PRNGKey(6)
+    allowed = jnp.asarray(True)
+
+    def run(**kw):
+        fn = jax.jit(build_train_step(model, disc, balancer, sched, sched,
+                                      disc_prob=1.0, sample_rate=24000, **kw))
+        new_state, metrics = fn(state, batch, rng, allowed)
+        return new_state, metrics
+
+    base_state, base_metrics = run()
+    for kw in ({'balancer_vjp_chunk': 2}, {'balancer_vjp_chunk': 4},
+               {'remat': True}):
+        alt_state, alt_metrics = run(**kw)
+        for k in base_metrics:
+            np.testing.assert_allclose(alt_metrics[k], base_metrics[k],
+                                       rtol=2e-4, atol=1e-5, err_msg=str((kw, k)))
+        for a, b in zip(jax.tree.leaves(base_state.params_g),
+                        jax.tree.leaves(alt_state.params_g)):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6,
+                                       err_msg=str(kw))
