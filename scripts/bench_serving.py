@@ -1,0 +1,78 @@
+"""Batched serving throughput: codec round-trip RTF vs batch size.
+
+Same chained-`lax.scan` harness as bench.py (the host↔device relay
+round-trip would otherwise swamp the numbers); reports aggregate RTF per
+chip at each batch size.
+
+Usage: python scripts/bench_serving.py [--batches 1 4 16] [--seconds 30]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+ITERS = 8
+
+
+def measure_dispatch_overhead() -> float:
+    f = jax.jit(lambda x: jnp.sum(x) * 2)
+    x = jnp.ones((8, 128))
+    float(f(x))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(x))
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--batches', type=int, nargs='+', default=[1, 4, 16])
+    p.add_argument('--seconds', type=int, default=30)
+    args = p.parse_args()
+
+    from encodec_pytorch_tpu.models.model import EncodecModel
+
+    model = EncodecModel._get_model(
+        [1.5, 3., 6., 12., 24.], 24_000, 1, causal=True,
+        model_norm='weight_norm', audio_normalize=False, segment=None,
+        name='encodec_24khz')
+    model.set_target_bandwidth(6.)
+    T = 24_000 * args.seconds
+    variables = model.init(jax.random.PRNGKey(0), example_length=24000)
+    variables['quantizer'] = variables['quantizer']._replace(
+        inited=jnp.ones_like(variables['quantizer'].inited),
+        embed=jax.random.normal(jax.random.PRNGKey(1),
+                                variables['quantizer'].embed.shape))
+
+    overhead = measure_dispatch_overhead()
+    print(f'dispatch overhead: {overhead * 1e3:.1f} ms')
+    for b in args.batches:
+        def body(x, _):
+            return model(variables, x), None
+
+        @jax.jit
+        def chained(x):
+            y, _ = jax.lax.scan(body, x, None, length=ITERS)
+            return jnp.sum(y)
+
+        x = jax.random.normal(jax.random.PRNGKey(2), (b, 1, T)) * 0.1
+        float(chained(x))  # compile
+        t0 = time.perf_counter()
+        float(chained(x))
+        dt = max(time.perf_counter() - t0 - overhead, 1e-9) / ITERS
+        agg = b * args.seconds / dt
+        print(f'batch {b:3d}: {dt * 1e3:7.1f} ms per round-trip '
+              f'({args.seconds}s clips) — aggregate {agg:8.1f}x realtime/chip',
+              flush=True)
+
+
+if __name__ == '__main__':
+    main()

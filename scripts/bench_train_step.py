@@ -106,6 +106,16 @@ def main():
           f'({audio_s / dt:.1f} audio-seconds/s per chip)')
     print(f'loss_g={float(metrics["loss_g"]):.4f} '
           f'loss_w={float(metrics["loss_w"]):.5f}')
+    try:
+        cost = jitted.lower(state, batch, rng, allowed).compile().cost_analysis()
+        flops = float(cost.get('flops', 0.0))
+        if flops:
+            # v5e bf16 peak ≈ 197 TFLOP/s; XLA counts f32 matmul flops the same
+            mfu = flops / dt / 197e12
+            print(f'XLA-counted {flops / 1e12:.2f} TFLOP/step — '
+                  f'{flops / dt / 1e12:.1f} TFLOP/s ≈ {mfu * 100:.1f}% MFU')
+    except Exception as exc:  # cost analysis is best-effort on some backends
+        print(f'cost_analysis unavailable: {exc}')
 
 
 if __name__ == '__main__':
