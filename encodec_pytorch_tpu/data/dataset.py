@@ -124,7 +124,8 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  fixed_length: Optional[int] = None, seed: int = 0,
                  drop_last: bool = True, shard_id: int = 0,
-                 num_shards: int = 1, prefetch: int = 2):
+                 num_shards: int = 1, prefetch: int = 2,
+                 transform=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -134,6 +135,11 @@ class DataLoader:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.prefetch = prefetch
+        # applied to each collated batch *inside the prefetch thread* — the
+        # trainer passes its device_put/shard here so the host→HBM copy of
+        # batch N+1 is already in flight while step N computes
+        # (double-buffered input pipeline; jax.device_put is async)
+        self.transform = transform
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -160,7 +166,9 @@ class DataLoader:
                 if not chunk or (self.drop_last and len(chunk) < self.batch_size):
                     return
                 batch = [self.dataset[i] for i in chunk]
-                yield pad_collate(batch, self.fixed_length)
+                collated = pad_collate(batch, self.fixed_length)
+                yield (self.transform(collated) if self.transform is not None
+                       else collated)
 
         if self.prefetch <= 0:
             yield from gen()

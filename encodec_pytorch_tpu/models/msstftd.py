@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.conv import NormConv2d
-from ..ops.stft import hann_window, stft
+from ..ops.stft import hann_window, stft, stft_matmul
 
 
 def get_2d_padding(kernel_size: Tuple[int, int],
@@ -46,16 +46,22 @@ class DiscriminatorSTFT(nn.Module):
     normalized: bool = True
     norm: str = 'weight_norm'
     activation_slope: float = 0.2
+    stft_method: str = 'fft'   # 'fft' | 'matmul' (DFT as one strided MXU conv)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         act = lambda z: jax.nn.leaky_relu(z, negative_slope=self.activation_slope)
-        window = jnp.asarray(hann_window(self.win_length))
         # [B, C, T] → complex [B, C, F, T'] → real/imag channels, NHWC [B, T', F, 2C]
-        spec = stft(x, self.n_fft, self.hop_length, self.win_length,
-                    window=window, normalized=self.normalized)
-        z = jnp.concatenate([spec.real, spec.imag], axis=1)
+        if self.stft_method == 'matmul':
+            re, im = stft_matmul(x, self.n_fft, self.hop_length,
+                                 self.win_length, normalized=self.normalized)
+            z = jnp.concatenate([re, im], axis=1)
+        else:
+            window = jnp.asarray(hann_window(self.win_length))
+            spec = stft(x, self.n_fft, self.hop_length, self.win_length,
+                        window=window, normalized=self.normalized)
+            z = jnp.concatenate([spec.real, spec.imag], axis=1)
         z = jnp.transpose(z, (0, 3, 2, 1))
         fmap: List[jnp.ndarray] = []
 
@@ -90,7 +96,10 @@ class DiscriminatorSTFT(nn.Module):
         z = NormConv2d(out_chs, self.out_channels, kernel_size=ks,
                        padding=get_2d_padding(ks), norm=self.norm,
                        dtype=self.dtype, name='conv_post')(z)
-        return z, fmap
+        # loss boundary: hinge/feature losses compute in f32 (no-op in f32
+        # mode; in the bf16 pipeline only the conv stack runs reduced)
+        return (z.astype(jnp.float32),
+                [f.astype(jnp.float32) for f in fmap])
 
 
 class MultiScaleSTFTDiscriminator(nn.Module):
@@ -105,6 +114,7 @@ class MultiScaleSTFTDiscriminator(nn.Module):
     hop_lengths: Sequence[int] = (256, 512, 128)
     win_lengths: Sequence[int] = (1024, 2048, 512)
     norm: str = 'weight_norm'
+    stft_method: str = 'fft'
     dtype: Any = jnp.float32
 
     @property
@@ -120,7 +130,8 @@ class MultiScaleSTFTDiscriminator(nn.Module):
                 self.filters, in_channels=self.in_channels,
                 out_channels=self.out_channels, n_fft=self.n_ffts[i],
                 win_length=self.win_lengths[i], hop_length=self.hop_lengths[i],
-                norm=self.norm, dtype=self.dtype, name=f'disc_{i}')(x)
+                norm=self.norm, stft_method=self.stft_method,
+                dtype=self.dtype, name=f'disc_{i}')(x)
             logits.append(logit)
             fmaps.append(fmap)
         return logits, fmaps

@@ -163,7 +163,9 @@ class SEANetEncoder(nn.Module):
         x = SConv1d(mult * self.n_filters, self.dimension, self.last_kernel_size,
                     norm=self.norm, causal=self.causal, pad_mode=self.pad_mode,
                     dtype=self.dtype, name=f'layer_{idx}')(x)
-        return x
+        # latent boundary: the quantizer (EMA codebooks, L2 search) always
+        # runs f32 — no-op in f32 mode, the bf16 pipeline ends here
+        return x.astype(jnp.float32)
 
 
 class SEANetDecoder(nn.Module):
@@ -254,6 +256,8 @@ class SEANetDecoder(nn.Module):
                     name=f'layer_{idx}')(x)
         if exit_layout == 'NCT':
             x = jnp.swapaxes(x, 1, 2)
+        # waveform boundary: losses/OLA/scale-restore consume f32 audio
+        x = x.astype(jnp.float32)
         if self.final_activation is not None:
             x = _act(self.final_activation, self.final_activation_params or {})(x)
         return x

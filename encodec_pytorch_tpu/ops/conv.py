@@ -32,6 +32,20 @@ def _uniform_init(bound: float):
         return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
     return init
 
+
+def _preferred(dtype):
+    """Accumulation/output dtype for conv/einsum calls.
+
+    f32 mode: accumulate and emit f32 (``preferred_element_type``).
+    Reduced-precision mode (the end-to-end bf16 activation pipeline):
+    ``None`` — operands and output keep the compute dtype uniformly. This
+    is required for the backward pass too: lax conv/dot *transpose* rules
+    reject mixed operand dtypes, so promoting outputs to f32 would feed an
+    f32 cotangent against bf16 saved operands and fail to differentiate.
+    The MXU still accumulates bf16 products in f32 internally; only the
+    stored activations are rounded."""
+    return jnp.float32 if dtype == jnp.float32 else None
+
 CONV_NORMALIZATIONS = frozenset(['none', 'weight_norm', 'spectral_norm',
                                  'time_layer_norm', 'layer_norm', 'time_group_norm'])
 
@@ -135,12 +149,12 @@ class NormConv1d(nn.Module):
                 term = jnp.einsum(
                     'oi,bit->bot', w_oim[:, :, m].astype(self.dtype),
                     jax.lax.slice_in_dim(xd, o, o + t_out, axis=2),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=_preferred(self.dtype))
                 y = term if y is None else y + term
             if self.use_bias:
                 bias = self.param('bias', _uniform_init(bound),
                                   (self.out_channels,), jnp.float32)
-                y = y + bias[:, None]
+                y = y + bias[:, None].astype(y.dtype)
             return y
 
         y = jax.lax.conv_general_dilated(
@@ -149,19 +163,21 @@ class NormConv1d(nn.Module):
             rhs_dilation=(self.dilation,),
             dimension_numbers=('NWC', 'WIO', 'NWC'),
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32)
+            preferred_element_type=_preferred(self.dtype))
         if self.use_bias:
             bias = self.param('bias', _uniform_init(bound),
                               (self.out_channels,), jnp.float32)
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         if self.norm == 'time_group_norm':
             if self.causal:
                 raise ValueError("GroupNorm doesn't support causal evaluation.")
-            y = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=jnp.float32)(y)
+            y = nn.GroupNorm(num_groups=1, epsilon=1e-5,
+                             dtype=jnp.float32)(y).astype(self.dtype)
         elif self.norm == 'layer_norm':
             # channels-last LayerNorm over C only (fixes the reference's
             # ConvLayerNorm returning None, norm.py:28)
-            y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(y)
+            y = nn.LayerNorm(epsilon=1e-5,
+                             dtype=jnp.float32)(y).astype(self.dtype)
         return y
 
 
@@ -208,13 +224,14 @@ class NormConv2d(nn.Module):
             window_strides=self.stride, padding=((ph, ph), (pw, pw)),
             rhs_dilation=self.dilation,
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=_preferred(self.dtype))
         if self.use_bias:
             bias = self.param('bias', _uniform_init(bound),
                               (self.out_channels,), jnp.float32)
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         if self.norm == 'time_group_norm':
-            y = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=jnp.float32)(y)
+            y = nn.GroupNorm(num_groups=1, epsilon=1e-5,
+                             dtype=jnp.float32)(y).astype(self.dtype)
         return y
 
 
@@ -329,7 +346,7 @@ class SConvTranspose1d(nn.Module):
                 term = jnp.einsum(
                     'iop,biq->bopq', Kt[j].astype(self.dtype),
                     jax.lax.slice_in_dim(xp, j, j + qout, axis=2),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=_preferred(self.dtype))
                 y = term if y is None else y + term
             # [B, out, s, qout] → [B, out, qout, s] → [B, out, qout·s]
             y = jnp.swapaxes(y, 2, 3).reshape(
@@ -337,7 +354,7 @@ class SConvTranspose1d(nn.Module):
             if self.use_bias:
                 bias = self.param('bias', _uniform_init(bound),
                                   (self.out_channels,), jnp.float32)
-                y = y + bias[:, None]
+                y = y + bias[:, None].astype(y.dtype)
             padding_total = k - s
             if self.causal:
                 padding_right = math.ceil(padding_total * self.trim_right_ratio)
@@ -367,7 +384,7 @@ class SConvTranspose1d(nn.Module):
                 xpad.astype(self.dtype), K.astype(self.dtype),
                 window_strides=(1,), padding='VALID',
                 dimension_numbers=('NWC', 'WIO', 'NWC'),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=_preferred(self.dtype))
             B, Tq, _ = y.shape
             y = y.reshape(B, Tq * s, self.out_channels)
         else:
@@ -376,13 +393,14 @@ class SConvTranspose1d(nn.Module):
                 strides=(self.stride,), padding='VALID',
                 dimension_numbers=('NWC', 'WIO', 'NWC'),
                 transpose_kernel=True)
-        y = y.astype(jnp.float32)
+        y = y.astype(_preferred(self.dtype) or self.dtype)
         if self.use_bias:
             bias = self.param('bias', _uniform_init(bound),
                               (self.out_channels,), jnp.float32)
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         if self.norm == 'time_group_norm':
-            y = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=jnp.float32)(y)
+            y = nn.GroupNorm(num_groups=1, epsilon=1e-5,
+                             dtype=jnp.float32)(y).astype(self.dtype)
 
         padding_total = self.kernel_size - self.stride
         if self.causal:

@@ -83,7 +83,15 @@ def _use_pallas_lstm(H: int, dtype) -> bool:
 
 
 class SLSTM(nn.Module):
-    """Multi-layer LSTM with residual skip (lstm.py:12-28)."""
+    """Multi-layer LSTM with residual skip (lstm.py:12-28).
+
+    The recurrence always computes in f32 regardless of the surrounding
+    activation pipeline's dtype (``self.dtype`` is accepted for interface
+    uniformity with the conv stack): the bottleneck LSTM is latency-bound
+    (sequential carry), not HBM-bandwidth-bound, and the carried cell state
+    compounds rounding error across hundreds of steps in bf16. Inputs are
+    cast up at entry and back to the incoming dtype at exit.
+    """
     dimension: int
     num_layers: int = 2
     skip: bool = True
@@ -91,6 +99,8 @@ class SLSTM(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)
         y = x
         H = self.dimension
         for layer in range(self.num_layers):
@@ -103,10 +113,10 @@ class SLSTM(nn.Module):
             w_ih = self.param(f'w_ih_l{layer}', init, (in_dim, 4 * H), jnp.float32)
             w_hh = self.param(f'w_hh_l{layer}', init, (H, 4 * H), jnp.float32)
             b = self.param(f'b_l{layer}', init, (4 * H,), jnp.float32)
-            if _use_pallas_lstm(H, self.dtype):
+            if _use_pallas_lstm(H, jnp.float32):
                 y = _fused_lstm_layer(y, w_ih, w_hh, b)
             else:
-                y = _lstm_layer(y, w_ih, w_hh, b, self.dtype)
+                y = _lstm_layer(y, w_ih, w_hh, b, jnp.float32)
         if self.skip:
             y = y + x
-        return y
+        return y.astype(in_dtype)

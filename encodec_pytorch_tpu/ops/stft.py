@@ -16,6 +16,7 @@ losses.py:31-34) has no analogue here — everything is pure functions.
 from functools import lru_cache
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -104,22 +105,73 @@ def stft(x: jnp.ndarray, n_fft: int, hop_length: int,
     return jnp.swapaxes(spec, -1, -2)                   # [..., F, n_frames]
 
 
+@lru_cache(maxsize=None)
+def _dft_kernel(n_fft: int, win_length: int) -> np.ndarray:
+    """Windowed real-DFT basis as a conv kernel ``[n_fft, 1, 2F]``
+    (re then im halves), F = 1 + n_fft//2.
+
+    ``rfft(window * frame)[f] = Σ_n window[n]·frame[n]·e^{-2πi f n / N}`` —
+    so a stride-``hop`` VALID conv with this kernel IS the windowed STFT.
+    On TPU this runs on the MXU instead of the VPU FFT and skips
+    materializing the 4×-overlapping frame gather (hop = n/4 here).
+    """
+    n = np.arange(n_fft)[:, None]
+    f = np.arange(1 + n_fft // 2)[None, :]
+    ang = -2.0 * np.pi * n * f / n_fft
+    w = np.zeros(n_fft)
+    w[:win_length] = hann_window(win_length)
+    basis = np.concatenate([np.cos(ang), np.sin(ang)], axis=1) * w[:, None]
+    return basis.astype(np.float32)[:, None, :]
+
+
+def stft_matmul(x: jnp.ndarray, n_fft: int, hop_length: int,
+                win_length: Optional[int] = None,
+                normalized: bool = False) -> jnp.ndarray:
+    """``stft()`` lowered as one strided conv (MXU matmul): returns
+    ``(re, im)`` each ``[..., F, n_frames]`` instead of a complex array.
+
+    Numerically equivalent to ``stft`` up to f32 matmul-vs-FFT roundoff
+    (parity-tested); preferred on TPU for the loss/discriminator front ends
+    where only real/imag or power spectra are consumed.
+    """
+    win_length = win_length or n_fft
+    kernel = jnp.asarray(_dft_kernel(n_fft, win_length))
+    shape = x.shape
+    xf = x.reshape(-1, shape[-1], 1)                    # [B*, T, 1]
+    y = jax.lax.conv_general_dilated(
+        xf, kernel, window_strides=(hop_length,), padding='VALID',
+        dimension_numbers=('NWC', 'WIO', 'NWC'),
+        preferred_element_type=jnp.float32)             # [B*, frames, 2F]
+    if normalized:
+        w = jnp.asarray(hann_window(win_length))
+        y = y / jnp.sqrt(jnp.sum(jnp.square(w)))
+    F = 1 + n_fft // 2
+    y = jnp.swapaxes(y, -1, -2).reshape(*shape[:-1], 2 * F, -1)
+    return y[..., :F, :], y[..., F:, :]
+
+
 def audio_to_mel(x: jnp.ndarray, n_fft: int, hop_length: int, win_length: int,
                  sampling_rate: int, n_mel_channels: int,
-                 mel_fmin: float = 0.0, mel_fmax: Optional[float] = None) -> jnp.ndarray:
+                 mel_fmin: float = 0.0, mel_fmax: Optional[float] = None,
+                 method: str = 'fft') -> jnp.ndarray:
     """Log10-mel spectrogram (reference Audio2Mel, audio_to_mel.py:34-55).
 
     x: ``[B, C, T]`` or ``[B, T]`` → ``[B(, C), n_mels, n_frames]`` with
     reflect padding of (n_fft - hop)/2 on both sides, power spectrum, mel
-    projection, ``log10(clamp(·, 1e-5))``.
+    projection, ``log10(clamp(·, 1e-5))``. ``method='matmul'`` computes the
+    STFT as one strided MXU conv (see ``stft_matmul``).
     """
     shape = x.shape
     if x.ndim > 2:
         x = x.reshape(shape[0] * shape[1], -1)
     p = (n_fft - hop_length) // 2
     x = jnp.pad(x, ((0, 0), (p, p)), mode='reflect')
-    spec = stft(x, n_fft, hop_length, win_length)       # [B*, F, frames]
-    power = jnp.square(spec.real) + jnp.square(spec.imag)
+    if method == 'matmul':
+        re, im = stft_matmul(x, n_fft, hop_length, win_length)
+        power = jnp.square(re) + jnp.square(im)
+    else:
+        spec = stft(x, n_fft, hop_length, win_length)   # [B*, F, frames]
+        power = jnp.square(spec.real) + jnp.square(spec.imag)
     basis = jnp.asarray(mel_filterbank(sampling_rate, n_fft, n_mel_channels,
                                        mel_fmin, mel_fmax))
     mel = jnp.einsum('mf,bft->bmt', basis, power)

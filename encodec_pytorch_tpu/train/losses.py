@@ -21,12 +21,14 @@ MEL_SCALES: Sequence[int] = tuple(range(5, 12))
 
 
 def spectral_reconstruction_loss(input_wav: jnp.ndarray, output_wav: jnp.ndarray,
-                                 sample_rate: int = 24000) -> jnp.ndarray:
+                                 sample_rate: int = 24000,
+                                 stft_method: str = 'fft') -> jnp.ndarray:
     """l_f: multi-scale log-mel L1+L2 (losses.py:40-42)."""
     l_f = jnp.float32(0.0)
     for i in MEL_SCALES:
         kwargs = dict(n_fft=2 ** i, win_length=2 ** i, hop_length=(2 ** i) // 4,
-                      sampling_rate=sample_rate, n_mel_channels=64)
+                      sampling_rate=sample_rate, n_mel_channels=64,
+                      method=stft_method)
         mel_x = audio_to_mel(input_wav, **kwargs)
         mel_y = audio_to_mel(output_wav, **kwargs)
         l_f = l_f + jnp.mean(jnp.abs(mel_x - mel_y)) \
@@ -38,10 +40,12 @@ def total_loss(fmap_real: List[List[jnp.ndarray]],
                logits_fake: List[jnp.ndarray],
                fmap_fake: List[List[jnp.ndarray]],
                input_wav: jnp.ndarray, output_wav: jnp.ndarray,
-               sample_rate: int = 24000) -> Dict[str, jnp.ndarray]:
+               sample_rate: int = 24000,
+               stft_method: str = 'fft') -> Dict[str, jnp.ndarray]:
     """Generator loss dict {l_t, l_f, l_g, l_feat} (losses.py:4-63)."""
     l_t = jnp.mean(jnp.abs(input_wav - output_wav))
-    l_f = spectral_reconstruction_loss(input_wav, output_wav, sample_rate)
+    l_f = spectral_reconstruction_loss(input_wav, output_wav, sample_rate,
+                                       stft_method)
 
     l_g = jnp.float32(0.0)
     l_feat = jnp.float32(0.0)

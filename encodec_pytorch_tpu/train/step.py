@@ -69,7 +69,8 @@ def init_train_state(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
 def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
                      balancer: Balancer, gen_schedule, disc_schedule,
                      disc_prob: float, sample_rate: int,
-                     remat: bool = False, balancer_vjp_chunk: int = 1):
+                     remat: bool = False, balancer_vjp_chunk: int = 1,
+                     stft_method: str = 'fft'):
     """Returns ``step_fn(state, batch, rng, disc_allowed) -> (state, metrics)``
     (not yet jitted — the trainer jits it with shardings/donation).
 
@@ -77,6 +78,8 @@ def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
     pass via vmap (1 = fully sequential, the reference's 4 autograd.grad
     calls; 4 = one batched VJP, holds 4× the disc-backward activations —
     measured to OOM a 16 GB chip at batch 12×72000; 2 = middle ground).
+    ``stft_method``: 'fft' | 'matmul' for the mel-loss front end (the disc's
+    own STFT method is configured on the disc module).
     """
     opt = make_optimizers()
 
@@ -100,7 +103,8 @@ def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
         def losses_of(out):
             logits_fake, fmap_fake = disc.apply({'params': state.params_d}, out)
             return total_loss(fmap_real, logits_fake, fmap_fake, batch, out,
-                              sample_rate=sample_rate)
+                              sample_rate=sample_rate,
+                              stft_method=stft_method)
 
         loss_vals, loss_vjp = jax.vjp(losses_of, output)
         names = sorted(loss_vals.keys())
@@ -186,7 +190,8 @@ def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
 
 
 def build_eval_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
-                    balancer: Balancer, sample_rate: int):
+                    balancer: Balancer, sample_rate: int,
+                    stft_method: str = 'fft'):
     """Eval step mirroring the reference test() (train_multi_gpu.py:144-161):
     eval forward (encode→decode), generator losses + disc loss, no updates."""
 
@@ -197,7 +202,8 @@ def build_eval_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
         logits_real, fmap_real = disc.apply({'params': state.params_d}, batch)
         logits_fake, fmap_fake = disc.apply({'params': state.params_d}, output)
         losses_g = total_loss(fmap_real, logits_fake, fmap_fake, batch, output,
-                              sample_rate=sample_rate)
+                              sample_rate=sample_rate,
+                              stft_method=stft_method)
         ld = disc_loss(logits_real, logits_fake)
         return {**losses_g, 'loss_disc': ld}
 

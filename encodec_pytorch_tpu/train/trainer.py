@@ -80,6 +80,14 @@ def build_model_from_config(config: Config) -> EncodecModel:
     return model
 
 
+def _stft_method(config: Config) -> str:
+    name = 'fft'
+    if 'tpu' in config:
+        name = str(config.tpu.get('stft_method', 'fft'))
+    assert name in ('fft', 'matmul'), name
+    return name
+
+
 def build_disc_from_config(config: Config) -> MultiScaleSTFTDiscriminator:
     """Discriminator factory mirroring train_multi_gpu.py:208-215."""
     return MultiScaleSTFTDiscriminator(
@@ -89,6 +97,7 @@ def build_disc_from_config(config: Config) -> MultiScaleSTFTDiscriminator:
         hop_lengths=tuple(config.model.disc_hop_lengths),
         win_lengths=tuple(config.model.disc_win_lengths),
         n_ffts=tuple(config.model.disc_n_ffts),
+        stft_method=_stft_method(config),
         dtype=_compute_dtype(config))
 
 
@@ -141,11 +150,14 @@ class Trainer:
         assert bs % n_proc == 0, \
             f"batch_size {bs} must divide over {n_proc} processes"
         local_bs = bs // n_proc
+        # device_put happens inside the loader's prefetch thread so the
+        # host→HBM copy of batch N+1 overlaps step N (ROADMAP item 4)
         self.trainloader = DataLoader(self.trainset, local_bs, shuffle=True,
                                       fixed_length=self.tensor_cut,
                                       seed=int(config.common.seed or 0),
                                       shard_id=jax.process_index(),
-                                      num_shards=n_proc)
+                                      num_shards=n_proc,
+                                      transform=self._put_batch)
         self.testloader = DataLoader(self.testset, local_bs, shuffle=False,
                                      fixed_length=self.tensor_cut,
                                      seed=int(config.common.seed or 0),
@@ -178,7 +190,8 @@ class Trainer:
                                    disc_prob=self.disc_prob,
                                    sample_rate=int(config.model.sample_rate),
                                    remat=remat,
-                                   balancer_vjp_chunk=vjp_chunk)
+                                   balancer_vjp_chunk=vjp_chunk,
+                                   stft_method=_stft_method(config))
         repl = replicated_sharding(self.mesh)
         donate_state = True
         if 'tpu' in config:
@@ -191,7 +204,8 @@ class Trainer:
             donate_argnums=donate)
         self.eval_step = jax.jit(build_eval_step(
             self.model, self.disc, self.balancer,
-            int(config.model.sample_rate)))
+            int(config.model.sample_rate),
+            stft_method=_stft_method(config)))
 
         # ---- state init / resume
         self.state = init_train_state(self.model, self.disc, self.balancer,
@@ -250,6 +264,12 @@ class Trainer:
 
     # ------------------------------------------------------------ train loop
 
+    def _put_batch(self, batch_np):
+        """Loader-thread hook: assemble/copy the (per-process) batch onto the
+        mesh. jax.device_put is async, so by the time the train loop receives
+        the batch the transfer is already in flight or done."""
+        return shard_batch(self.mesh, batch_np)
+
     def train_one_epoch(self, epoch: int):
         """Mirrors train_one_step's per-epoch batch loop
         (train_multi_gpu.py:32-142)."""
@@ -262,11 +282,12 @@ class Trainer:
             self.disc_prob > 0 and epoch >= self.warmup_epoch), self._repl)
         log_interval = int(cfg.common.log_interval)
         t0 = time.time()
-        for idx, batch_np in enumerate(self.trainloader):
+        for idx, batch in enumerate(self.trainloader):
             if self.profile_dir and epoch == 1 and idx == 2:
                 jax.profiler.start_trace(self.profile_dir)
                 self._profiling = True
-            batch = shard_batch(self.mesh, batch_np)
+            # batch is already on device: the loader's prefetch thread ran
+            # _put_batch (shard_batch) while the previous step computed
             self.state, metrics = self.train_step(self.state, batch, self.rng,
                                                   disc_allowed)
             if self._profiling and idx == 6:

@@ -36,6 +36,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument('--batches', type=int, nargs='+', default=[1, 4, 16])
     p.add_argument('--seconds', type=int, default=30)
+    p.add_argument('--dtype', default='float32',
+                   choices=['float32', 'bfloat16'])
     args = p.parse_args()
 
     from encodec_pytorch_tpu.models.model import EncodecModel
@@ -43,7 +45,9 @@ def main():
     model = EncodecModel._get_model(
         [1.5, 3., 6., 12., 24.], 24_000, 1, causal=True,
         model_norm='weight_norm', audio_normalize=False, segment=None,
-        name='encodec_24khz')
+        name='encodec_24khz',
+        dtype={'float32': jnp.float32,
+               'bfloat16': jnp.bfloat16}[args.dtype])
     model.set_target_bandwidth(6.)
     T = 24_000 * args.seconds
     variables = model.init(jax.random.PRNGKey(0), example_length=24000)

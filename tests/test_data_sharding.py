@@ -63,6 +63,29 @@ def test_shard_batch_places_global_array():
     np.testing.assert_array_equal(np.asarray(arr), batch)
 
 
+def test_loader_transform_runs_in_prefetch_thread():
+    """The `transform` hook (the trainer's device_put) applies per batch in
+    the worker thread and preserves batch order/content."""
+    import threading
+
+    ds = _IndexDataset(16)
+    main_thread = threading.get_ident()
+    seen_threads = []
+
+    def transform(b):
+        seen_threads.append(threading.get_ident())
+        return b + 100.0
+
+    loader = DataLoader(ds, 4, shuffle=False, seed=0, prefetch=2,
+                        transform=transform)
+    batches = list(loader)
+    assert len(batches) == 4
+    np.testing.assert_array_equal(
+        np.concatenate([b[:, 0, 0] for b in batches]),
+        np.arange(16, dtype=np.float32) + 100.0)
+    assert seen_threads and all(t != main_thread for t in seen_threads)
+
+
 def test_loader_prefetch_propagates_worker_errors():
     """A dataset error inside the prefetch thread must surface to the
     consumer, not silently truncate the epoch."""

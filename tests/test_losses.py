@@ -39,6 +39,50 @@ def test_stft_normalized_matches_torchaudio_semantics():
     np.testing.assert_allclose(ours.real, ref.real, atol=1e-4, rtol=1e-4)
 
 
+def test_stft_matmul_matches_fft():
+    """The MXU (DFT-as-strided-conv) lowering equals the FFT path up to f32
+    matmul roundoff, including window-L2 normalization and win < n_fft."""
+    from encodec_pytorch_tpu.ops.stft import stft_matmul
+
+    rng = np.random.RandomState(0)
+    for n_fft, hop, win, norm in [(256, 64, 256, False), (128, 32, 128, True),
+                                  (64, 16, 64, False)]:
+        x = jnp.asarray(rng.randn(2, 3, 2048).astype(np.float32))
+        ref = stft(x, n_fft, hop, win, normalized=norm)
+        re, im = stft_matmul(x, n_fft, hop, win, normalized=norm)
+        scale = float(jnp.abs(ref).max())
+        np.testing.assert_allclose(np.asarray(re), np.asarray(ref.real),
+                                   atol=2e-4 * scale, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(im), np.asarray(ref.imag),
+                                   atol=2e-4 * scale, rtol=1e-4)
+
+
+def test_stft_method_matmul_matches_fft_in_losses_and_disc():
+    """`tpu.stft_method: matmul` must reproduce the fft-path mel loss and
+    discriminator outputs (same params) up to matmul roundoff."""
+    from encodec_pytorch_tpu.models.msstftd import MultiScaleSTFTDiscriminator
+    from encodec_pytorch_tpu.train.losses import spectral_reconstruction_loss
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 1, 4096).astype(np.float32) * 0.3)
+    y = x + jnp.asarray(rng.randn(2, 1, 4096).astype(np.float32) * 0.05)
+
+    lf_fft = float(spectral_reconstruction_loss(x, y, 24000, 'fft'))
+    lf_mm = float(spectral_reconstruction_loss(x, y, 24000, 'matmul'))
+    assert abs(lf_fft - lf_mm) < 2e-3 * max(abs(lf_fft), 1.0), (lf_fft, lf_mm)
+
+    kw = dict(filters=4, n_ffts=(512, 256), hop_lengths=(128, 64),
+              win_lengths=(512, 256))
+    d_fft = MultiScaleSTFTDiscriminator(**kw)
+    d_mm = MultiScaleSTFTDiscriminator(stft_method='matmul', **kw)
+    params = d_fft.init(jax.random.PRNGKey(0), x)
+    log_f, fm_f = d_fft.apply(params, x)
+    log_m, fm_m = d_mm.apply(params, x)
+    for a, b in zip(log_f, log_m):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
+
+
 def test_mel_filterbank_properties():
     fb = mel_filterbank(24000, 1024, 64)
     assert fb.shape == (64, 513)
