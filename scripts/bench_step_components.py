@@ -55,6 +55,9 @@ def main():
     p.add_argument('--cut', type=int, default=72000)
     p.add_argument('--dtype', default='float32',
                    choices=['float32', 'bfloat16'])
+    p.add_argument('--stft_method', default='fft', choices=['fft', 'matmul'])
+    p.add_argument('--only', nargs='*', default=None,
+                   help='subset of components: gen disc mel vjp discupd')
     args = p.parse_args()
 
     from encodec_pytorch_tpu.models.model import EncodecModel
@@ -69,7 +72,8 @@ def main():
         name='my_encodec', dtype=dtype)
     disc = MultiScaleSTFTDiscriminator(
         filters=32, n_ffts=(1024, 2048, 512), hop_lengths=(256, 512, 128),
-        win_lengths=(1024, 2048, 512), dtype=dtype)
+        win_lengths=(1024, 2048, 512), stft_method=args.stft_method,
+        dtype=dtype)
 
     variables = model.init(jax.random.PRNGKey(0), example_length=args.cut)
     batch = jnp.asarray(np.random.RandomState(0).randn(
@@ -77,14 +81,19 @@ def main():
     params_d = disc.init(jax.random.PRNGKey(1), batch)['params']
     rng = jax.random.PRNGKey(2)
 
-    print(f'config: batch={args.batch} cut={args.cut} dtype={args.dtype}')
+    print(f'config: batch={args.batch} cut={args.cut} dtype={args.dtype} '
+          f'stft={args.stft_method}', flush=True)
+
+    def want(tag):
+        return args.only is None or tag in args.only
 
     # ---- generator
     def gen_fwd(x, eps):
         out, loss_w, _ = model.forward_train(variables, x + eps, rng)
         return jnp.sum(out) * 1e-6 + loss_w
 
-    timed('generator forward_train (fwd only)', gen_fwd, batch)
+    if want('gen'):
+        timed('generator forward_train (fwd only)', gen_fwd, batch)
 
     def gen_fwd_bwd(x, eps):
         def f(params):
@@ -96,33 +105,40 @@ def main():
         val, grads = jax.value_and_grad(f)(variables['params'])
         return val + jax.tree.leaves(grads)[0].ravel()[0] * 1e-9
 
-    timed('generator fwd + param backward', gen_fwd_bwd, batch)
+    if want('gen'):
+        timed('generator fwd + param backward', gen_fwd_bwd, batch)
 
-    # fixed fake output for the disc/loss components
-    output, _, _ = model.forward_train(variables, batch, rng)
-    output = jax.block_until_ready(output)
+    # fixed fake output for the loss components (not needed for disc-only)
+    output = None
+    if want('mel') or want('vjp') or want('discupd'):
+        output, _, _ = model.forward_train(variables, batch, rng)
+        output = jax.block_until_ready(output)
 
     # ---- discriminator
     def disc_fwd(x, eps):
         logits, fmaps = disc.apply({'params': params_d}, x + eps)
         return sum(jnp.sum(l) for l in logits) * 1e-6
 
-    timed('disc forward (one signal)', disc_fwd, batch)
+    if want('disc'):
+        timed('disc forward (one signal)', disc_fwd, batch)
 
     # ---- mel loss
     def mel_fwd(x, y, eps):
-        return spectral_reconstruction_loss(x + eps, y, 24_000)
+        return spectral_reconstruction_loss(x + eps, y, 24_000, args.stft_method)
 
-    timed('7-scale mel loss l_f (fwd)', mel_fwd, batch, output)
+    if want('mel'):
+        timed('7-scale mel loss l_f (fwd)', mel_fwd, batch, output)
 
     def mel_fwd_bwd(x, y, eps):
         val, vjp = jax.vjp(
-            lambda o: spectral_reconstruction_loss(x, o + eps, 24_000), y)
+            lambda o: spectral_reconstruction_loss(x, o + eps, 24_000,
+                args.stft_method), y)
         (g,) = vjp(jnp.float32(1.0))
         return val + jnp.sum(g) * 1e-9
 
-    timed('7-scale mel loss l_f (fwd + bwd wrt output)', mel_fwd_bwd,
-          batch, output)
+    if want('mel'):
+        timed('7-scale mel loss l_f (fwd + bwd wrt output)', mel_fwd_bwd,
+              batch, output)
 
     # ---- the 4 balancer VJPs (mirrors step.py:100-131)
     logits_real, fmap_real = disc.apply({'params': params_d}, batch)
@@ -131,10 +147,10 @@ def main():
     def losses_of(out):
         logits_fake, fmap_fake = disc.apply({'params': params_d}, out)
         return total_loss(fmap_real, logits_fake, fmap_fake, batch, out,
-                          sample_rate=24_000)
+                          sample_rate=24_000, stft_method=args.stft_method)
 
     names = ['l_t', 'l_f', 'l_g', 'l_feat']
-    for name in names:
+    for name in (names if want('vjp') else []):
         def one_vjp(y, eps, _name=name):
             loss_vals, loss_vjp = jax.vjp(losses_of, y + eps)
             cot = {k: (jnp.float32(1.0) if k == _name else jnp.float32(0.0))
@@ -154,7 +170,8 @@ def main():
             acc = acc + jnp.sum(g) * 1e-9
         return acc
 
-    timed('losses fwd + all 4 sequential VJPs', all_vjps, output)
+    if want('vjp'):
+        timed('losses fwd + all 4 sequential VJPs', all_vjps, output)
 
     # ---- disc update
     from encodec_pytorch_tpu.train.losses import disc_loss
@@ -168,7 +185,8 @@ def main():
         ld, grads = jax.value_and_grad(d_loss)(params_d)
         return ld + jax.tree.leaves(grads)[0].ravel()[0] * 1e-9
 
-    timed('disc update (2 fwd + backward)', disc_update, batch, output)
+    if want('discupd'):
+        timed('disc update (2 fwd + backward)', disc_update, batch, output)
 
 
 if __name__ == '__main__':
