@@ -36,17 +36,23 @@ def spectral_reconstruction_loss(input_wav: jnp.ndarray, output_wav: jnp.ndarray
     return l_f
 
 
-def total_loss(fmap_real: List[List[jnp.ndarray]],
-               logits_fake: List[jnp.ndarray],
-               fmap_fake: List[List[jnp.ndarray]],
-               input_wav: jnp.ndarray, output_wav: jnp.ndarray,
+def wav_losses(input_wav: jnp.ndarray, output_wav: jnp.ndarray,
                sample_rate: int = 24000,
                stft_method: str = 'fft') -> Dict[str, jnp.ndarray]:
-    """Generator loss dict {l_t, l_f, l_g, l_feat} (losses.py:4-63)."""
+    """The waveform-path generator losses {l_t, l_f} (losses.py:37-42).
+    These are the only two losses whose gradient flows directly from the
+    waveforms (not through the discriminator)."""
     l_t = jnp.mean(jnp.abs(input_wav - output_wav))
     l_f = spectral_reconstruction_loss(input_wav, output_wav, sample_rate,
                                        stft_method)
+    return {'l_t': l_t, 'l_f': l_f}
 
+
+def gan_losses(fmap_real: List[List[jnp.ndarray]],
+               logits_fake: List[jnp.ndarray],
+               fmap_fake: List[List[jnp.ndarray]]) -> Dict[str, jnp.ndarray]:
+    """The discriminator-path generator losses {l_g, l_feat}
+    (losses.py:44-56); gradient flows only through logits_fake/fmap_fake."""
     l_g = jnp.float32(0.0)
     l_feat = jnp.float32(0.0)
     K = len(fmap_real)
@@ -57,8 +63,18 @@ def total_loss(fmap_real: List[List[jnp.ndarray]],
                 / jnp.mean(jnp.abs(fmap_real[k][l]))
     l_feat = l_feat / (K * len(fmap_real[0]))
     l_g = l_g / K  # double K division kept from the reference (losses.py:48,56)
+    return {'l_g': l_g, 'l_feat': l_feat}
 
-    return {'l_t': l_t, 'l_f': l_f, 'l_g': l_g, 'l_feat': l_feat}
+
+def total_loss(fmap_real: List[List[jnp.ndarray]],
+               logits_fake: List[jnp.ndarray],
+               fmap_fake: List[List[jnp.ndarray]],
+               input_wav: jnp.ndarray, output_wav: jnp.ndarray,
+               sample_rate: int = 24000,
+               stft_method: str = 'fft') -> Dict[str, jnp.ndarray]:
+    """Generator loss dict {l_t, l_f, l_g, l_feat} (losses.py:4-63)."""
+    return {**wav_losses(input_wav, output_wav, sample_rate, stft_method),
+            **gan_losses(fmap_real, logits_fake, fmap_fake)}
 
 
 def disc_loss(logits_real: List[jnp.ndarray],

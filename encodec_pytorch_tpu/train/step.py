@@ -23,7 +23,7 @@ import optax
 from ..models.model import EncodecModel
 from ..models.msstftd import MultiScaleSTFTDiscriminator
 from .balancer import Balancer, BalancerState
-from .losses import disc_loss, total_loss
+from .losses import disc_loss, gan_losses, total_loss, wav_losses
 
 
 class TrainState(NamedTuple):
@@ -70,7 +70,7 @@ def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
                      balancer: Balancer, gen_schedule, disc_schedule,
                      disc_prob: float, sample_rate: int,
                      remat: bool = False, balancer_vjp_chunk: int = 1,
-                     stft_method: str = 'fft'):
+                     stft_method: str = 'fft', shared_disc_vjp: bool = True):
     """Returns ``step_fn(state, batch, rng, disc_allowed) -> (state, metrics)``
     (not yet jitted — the trainer jits it with shardings/donation).
 
@@ -80,6 +80,16 @@ def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
     measured to OOM a 16 GB chip at batch 12×72000; 2 = middle ground).
     ``stft_method``: 'fft' | 'matmul' for the mel-loss front end (the disc's
     own STFT method is configured on the disc module).
+    ``shared_disc_vjp``: split the monolithic losses-VJP into per-path VJPs
+    that share the two discriminator forwards between the generator losses
+    and the gated disc update (the reference runs 4 disc forwards per step:
+    real, fake, and a recompute of both inside the disc update,
+    train_multi_gpu.py:62-63,111-116). l_t/l_f differentiate through the
+    waveform path only, l_g/l_feat through the disc-output path only
+    (losses.py:37-54 — each loss has exactly one path), and the disc update
+    reuses the same forwards' residuals for its parameter gradients. Same
+    math, ~2 fewer disc forwards and no dead weight-gradient work in the
+    generator VJPs. Requires ``balancer_vjp_chunk == 1``.
     """
     opt = make_optimizers()
 
@@ -106,11 +116,41 @@ def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
                               sample_rate=sample_rate,
                               stft_method=stft_method)
 
-        loss_vals, loss_vjp = jax.vjp(losses_of, output)
-        names = sorted(loss_vals.keys())
-        if balancer_vjp_chunk > 1:
+        if shared_disc_vjp and balancer_vjp_chunk == 1:
+            # Path-split VJPs: ONE disc-fake forward whose residuals serve
+            # both generator-loss VJPs, and per-path loss graphs so each
+            # VJP only traverses the work its loss actually uses (the
+            # monolithic losses_of VJP drags the full graph — mel included —
+            # through every call and leans on XLA to DCE the zero-cotangent
+            # branches).
+            def disc_fake_fn(out):
+                return disc.apply({'params': state.params_d}, out)
+
+            (logits_fake, fmap_fake), disc_fake_vjp = jax.vjp(disc_fake_fn,
+                                                              output)
+            wav_vals, wav_vjp = jax.vjp(
+                lambda out: wav_losses(batch, out, sample_rate, stft_method),
+                output)
+            gan_vals, gan_vjp = jax.vjp(
+                lambda lf, ff: gan_losses(fmap_real, lf, ff),
+                logits_fake, fmap_fake)
+            loss_vals = {**wav_vals, **gan_vals}
+            names = sorted(loss_vals.keys())
+            grads_per_loss = {}
+            for name in wav_vals:
+                cot = {k: jnp.float32(1.0 if k == name else 0.0)
+                       for k in wav_vals}
+                grads_per_loss[name], = wav_vjp(cot)
+            for name in gan_vals:
+                cot = {k: jnp.float32(1.0 if k == name else 0.0)
+                       for k in gan_vals}
+                cot_lf, cot_ff = gan_vjp(cot)
+                grads_per_loss[name], = disc_fake_vjp((cot_lf, cot_ff))
+        elif balancer_vjp_chunk > 1:
             # chunked batched VJPs: vmap over `chunk` one-hot cotangents at a
             # time, lax.map over the chunks (memory = chunk × one backward)
+            loss_vals, loss_vjp = jax.vjp(losses_of, output)
+            names = sorted(loss_vals.keys())
             n = len(names)
             assert n % balancer_vjp_chunk == 0, (n, balancer_vjp_chunk)
             eye = jnp.eye(n, dtype=jnp.float32).reshape(
@@ -128,6 +168,8 @@ def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
             # balancer.py:87). A fully vmapped VJP was measured: it cuts
             # compile time 2.5x but holds 4x the disc-backward activations
             # live and OOMs a 16 GB chip at batch 12 x 72000 — rejected.
+            loss_vals, loss_vjp = jax.vjp(losses_of, output)
+            names = sorted(loss_vals.keys())
             grads_per_loss = {}
             for name in names:
                 cot = {k: (jnp.float32(1.0) if k == name else jnp.float32(0.0))

@@ -182,16 +182,19 @@ class Trainer:
 
         remat = False
         vjp_chunk = 1
+        shared_vjp = True
         if 'tpu' in config:
             remat = bool(config.tpu.get('remat', False))
             vjp_chunk = int(config.tpu.get('balancer_vjp_chunk', 1))
+            shared_vjp = bool(config.tpu.get('shared_disc_vjp', True))
         step_fn = build_train_step(self.model, self.disc, self.balancer,
                                    gen_sched, disc_sched,
                                    disc_prob=self.disc_prob,
                                    sample_rate=int(config.model.sample_rate),
                                    remat=remat,
                                    balancer_vjp_chunk=vjp_chunk,
-                                   stft_method=_stft_method(config))
+                                   stft_method=_stft_method(config),
+                                   shared_disc_vjp=shared_vjp)
         repl = replicated_sharding(self.mesh)
         donate_state = True
         if 'tpu' in config:

@@ -36,6 +36,9 @@ def main():
                    choices=['float32', 'bfloat16'])
     p.add_argument('--disc_prob', type=float, default=1.0,
                    help='1.0 keeps the disc branch always taken (worst case)')
+    p.add_argument('--no_shared_vjp', action='store_true',
+                   help='use the monolithic losses VJP instead of the '
+                        'path-split shared-disc-forward VJPs')
     p.add_argument('--profile_dir', default='')
     args = p.parse_args()
 
@@ -62,7 +65,8 @@ def main():
     step_fn = build_train_step(model, disc, balancer, sched, sched,
                                disc_prob=args.disc_prob, sample_rate=24_000,
                                remat=args.remat,
-                               balancer_vjp_chunk=args.chunk)
+                               balancer_vjp_chunk=args.chunk,
+                               shared_disc_vjp=not args.no_shared_vjp)
 
     mesh = create_mesh(0)
     repl = replicated_sharding(mesh)

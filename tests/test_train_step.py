@@ -106,8 +106,10 @@ def test_balancer_vjp_chunk_and_remat_equivalence():
         return new_state, metrics
 
     base_state, base_metrics = run()
-    for kw in ({'balancer_vjp_chunk': 2}, {'balancer_vjp_chunk': 4},
-               {'remat': True}):
+    # shared_disc_vjp=False is the monolithic losses-VJP (reference-shaped);
+    # the default path splits it across shared disc forwards — same math
+    for kw in ({'shared_disc_vjp': False}, {'balancer_vjp_chunk': 2},
+               {'balancer_vjp_chunk': 4}, {'remat': True}):
         alt_state, alt_metrics = run(**kw)
         for k in base_metrics:
             np.testing.assert_allclose(alt_metrics[k], base_metrics[k],
