@@ -77,9 +77,10 @@ def _fused_lstm_bwd(residuals, g):
 _fused_lstm_layer.defvjp(_fused_lstm_fwd, _fused_lstm_bwd)
 
 
-def _use_pallas_lstm(H: int, dtype) -> bool:
-    from .pallas_lstm import available
-    return available() and H % 128 == 0 and dtype == jnp.float32
+def _use_pallas_lstm(H: int, dtype, x_shape=None) -> bool:
+    from .pallas_lstm import available, fits
+    return (available() and H % 128 == 0 and dtype == jnp.float32
+            and (x_shape is None or fits(x_shape, H)))
 
 
 class SLSTM(nn.Module):
@@ -113,7 +114,7 @@ class SLSTM(nn.Module):
             w_ih = self.param(f'w_ih_l{layer}', init, (in_dim, 4 * H), jnp.float32)
             w_hh = self.param(f'w_hh_l{layer}', init, (H, 4 * H), jnp.float32)
             b = self.param(f'b_l{layer}', init, (4 * H,), jnp.float32)
-            if _use_pallas_lstm(H, jnp.float32):
+            if _use_pallas_lstm(H, jnp.float32, y.shape):
                 y = _fused_lstm_layer(y, w_ih, w_hh, b)
             else:
                 y = _lstm_layer(y, w_ih, w_hh, b, jnp.float32)

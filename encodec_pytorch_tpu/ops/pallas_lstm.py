@@ -82,6 +82,22 @@ def available() -> bool:
     return jax.default_backend() == 'tpu'
 
 
+# The kernel streams xp [T_pad, B, 4H] through VMEM in time blocks; the
+# compiler's scoped-VMEM budget is 16 MB and the block working set scales
+# with B (measured: B=12/T=256 and B=1/T=2304 compile, B=16/T=2304 dies
+# with a 36 MB scoped allocation). Gate on the dominant xp footprint with
+# headroom; past it the lax.scan recurrence is used instead — at such
+# batch/length products the scan's loop overhead is amortized anyway.
+_VMEM_XP_LIMIT_BYTES = 32 * 2 ** 20
+
+
+def fits(x_shape, H: int) -> bool:
+    """True if [B, T, C] input is within the kernel's VMEM budget."""
+    B, T = x_shape[0], x_shape[1]
+    t_pad = -(-T // TIME_BLOCK) * TIME_BLOCK
+    return t_pad * B * 4 * H * 4 <= _VMEM_XP_LIMIT_BYTES
+
+
 def lstm_layer_pallas(x: jnp.ndarray, w_ih: jnp.ndarray, w_hh: jnp.ndarray,
                       b: jnp.ndarray, interpret: Optional[bool] = None
                       ) -> jnp.ndarray:

@@ -49,6 +49,40 @@ def test_bf16_disc_vjp_differentiable():
     assert np.isfinite(float(val))
 
 
+def test_bf16_codec_roundtrip_quality():
+    """bf16 serving: same codes as f32 for nearly all frames, and the
+    decoded waveform stays close — the documented quality bound for
+    running inference with compute_dtype=bfloat16."""
+    from encodec_pytorch_tpu.models.model import EncodecModel
+
+    def build(dtype):
+        return EncodecModel._get_model(
+            [1.5, 3.], 24_000, 1, causal=True, model_norm='weight_norm',
+            audio_normalize=False, segment=None, n_q=4, n_filters=8,
+            dtype=dtype)
+
+    m32, m16 = build(jnp.float32), build(jnp.bfloat16)
+    variables = m32.init(jax.random.PRNGKey(0), example_length=4800)
+    variables['quantizer'] = variables['quantizer']._replace(
+        inited=jnp.ones_like(variables['quantizer'].inited),
+        embed=jax.random.normal(jax.random.PRNGKey(1),
+                                variables['quantizer'].embed.shape))
+    m32.set_target_bandwidth(3.)
+    m16.set_target_bandwidth(3.)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 4800)) * 0.3
+
+    codes32 = np.asarray(m32.encode(variables, x)[0][0])
+    codes16 = np.asarray(m16.encode(variables, x)[0][0])
+    agreement = (codes32 == codes16).mean()
+    assert agreement > 0.95, agreement  # argmin flips only near ties
+
+    y32 = np.asarray(m32(variables, x))
+    y16 = np.asarray(m16(variables, x))
+    err = np.sqrt(((y32 - y16) ** 2).mean())
+    scale = np.sqrt((y32 ** 2).mean())
+    assert err / scale < 0.15, (err, scale)
+
+
 def test_bf16_train_step_runs_and_updates():
     """Full GAN step in bf16 compute mode: finite metrics, params move."""
     from encodec_pytorch_tpu.models.model import EncodecModel
