@@ -4,6 +4,12 @@ North-star from BASELINE.json: > 10× real-time per chip. Prints one JSON
 line: {"metric", "value", "unit", "vs_baseline"} with vs_baseline = RTF / 10.
 Runs on whatever device jax sees (the driver runs it on a real TPU chip).
 
+Measures the shipped TPU serving configuration: the end-to-end bfloat16
+activation pipeline (f32 master weights/quantizer; quality bound tested in
+tests/test_bf16.py — >95 % of RVQ code indices identical to the f32 path,
+small relative waveform delta). Measured context: f32 ≈ 1470×, bf16 ≈
+1900× on one v5e chip (docs/PERF_NOTES.md).
+
 Methodology: the host↔device dispatch+sync overhead (a ~33 ms relay
 round-trip in the dev environment) would otherwise swamp the measurement, so
 the codec round-trip is iterated inside ONE jitted `lax.scan` (each iteration
@@ -41,7 +47,7 @@ def main():
     model = EncodecModel._get_model(
         [1.5, 3., 6., 12., 24.], 24_000, 1, causal=True,
         model_norm='weight_norm', audio_normalize=False, segment=None,
-        name='encodec_24khz')
+        name='encodec_24khz', dtype=jnp.bfloat16)
     model.set_target_bandwidth(6.)  # n_q = 8
 
     seconds = 30
