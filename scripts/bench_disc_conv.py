@@ -185,6 +185,26 @@ def main():
 
         timed(f'nhwc dilated d=({d},1)', nhwc_d, x_nhwc)
 
+    # ---- fused im2col Pallas kernel (K-packed taps)
+    from encodec_pytorch_tpu.ops.pallas_conv2d import conv2d_im2col
+
+    def pallas_im2col(x, eps):
+        y = conv2d_im2col((x + eps).astype(dtype), w_hwio.astype(dtype),
+                          (PT, PF), (1, 1))
+        return jnp.sum(y.astype(jnp.float32)) * 1e-6
+
+    try:
+        timed('pallas im2col K-packed', pallas_im2col, x_nhwc)
+        ref = jax.lax.conv_general_dilated(
+            x_nhwc[:1, :32], w_hwio, (ST, SF), ((PT, PT), (PF, PF)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        got = conv2d_im2col(x_nhwc[:1, :32], w_hwio, (PT, PF), (1, 1))
+        print(f'pallas max abs err vs nhwc: '
+              f'{float(jnp.max(jnp.abs(got - ref))):.2e}', flush=True)
+    except Exception as exc:
+        print(f'pallas im2col failed: {type(exc).__name__}: '
+              f'{str(exc)[:500]}', flush=True)
+
     # correctness cross-check (f32 small slice)
     ref = jax.lax.conv_general_dilated(
         x_nhwc, w_hwio, window_strides=(ST, SF),
