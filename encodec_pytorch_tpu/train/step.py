@@ -192,13 +192,37 @@ def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
         train_disc = jnp.logical_and(jnp.asarray(disc_allowed, bool), coin)
         output_sg = jax.lax.stop_gradient(output)
 
-        def disc_update(_):
-            def d_loss_fn(params_d):
-                lr_, _ = disc.apply({'params': params_d}, batch)
-                lf_, _ = disc.apply({'params': params_d}, output_sg)
-                return disc_loss(lr_, lf_)
+        if shared_disc_vjp and balancer_vjp_chunk == 1:
+            # logits-only parameter VJPs whose forward traces are identical
+            # subgraphs of the generator-side disc forwards (same inputs,
+            # same params — the fmaps are intermediates either way), so the
+            # compiler shares one forward per signal instead of the
+            # reference's recompute inside the update (train_multi_gpu.py:
+            # 111-116). Backward runs only inside the gated branch.
+            lr_v, disc_real_pd_vjp = jax.vjp(
+                lambda pd: disc.apply({'params': pd}, batch)[0],
+                state.params_d)
+            lf_v, disc_fake_pd_vjp = jax.vjp(
+                lambda pd: disc.apply({'params': pd}, output_sg)[0],
+                state.params_d)
 
-            ld, grads_d = jax.value_and_grad(d_loss_fn)(state.params_d)
+            def disc_grads():
+                ld, ld_vjp = jax.vjp(disc_loss, lr_v, lf_v)
+                cot_r, cot_f = ld_vjp(jnp.float32(1.0))
+                g_real, = disc_real_pd_vjp(cot_r)
+                g_fake, = disc_fake_pd_vjp(cot_f)
+                return ld, jax.tree.map(jnp.add, g_real, g_fake)
+        else:
+            def disc_grads():
+                def d_loss_fn(params_d):
+                    lr_, _ = disc.apply({'params': params_d}, batch)
+                    lf_, _ = disc.apply({'params': params_d}, output_sg)
+                    return disc_loss(lr_, lf_)
+
+                return jax.value_and_grad(d_loss_fn)(state.params_d)
+
+        def disc_update(_):
+            ld, grads_d = disc_grads()
             lr_d = disc_schedule(state.step)
             upd, new_opt_d = opt.update(grads_d, state.opt_d, state.params_d)
             upd = jax.tree.map(lambda u: -lr_d * u, upd)
