@@ -86,6 +86,31 @@ def frame_signal(x: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
     return x[..., idx]
 
 
+def frame_signal_grouped(x: jnp.ndarray, n_fft: int,
+                         hop_length: int) -> jnp.ndarray:
+    """Same frame *set* as ``frame_signal`` but phase-major order, built
+    from ``n_fft // hop`` zero-copy reshapes instead of a gather.
+
+    Requires ``n_fft % hop == 0``. Frame ``k`` (start ``k·hop``) appears at
+    position ``(k % r, k // r)`` — a permutation of the natural order, so
+    any frame-permutation-invariant consumer (the multi-scale mel loss's
+    mean) gets identical values, while the VJP is a reshape-add instead of
+    the gather's scatter-add over 4×-overlapping windows (the TPU-slow
+    part of the loss backward)."""
+    T = x.shape[-1]
+    r = n_fft // hop_length
+    assert r * hop_length == n_fft, (n_fft, hop_length)
+    n_frames = 1 + (T - n_fft) // hop_length
+    groups = []
+    for p in range(r):
+        m_p = -(-(n_frames - p) // r)  # ceil
+        if m_p <= 0:
+            continue
+        xs = x[..., p * hop_length:p * hop_length + m_p * n_fft]
+        groups.append(xs.reshape(*x.shape[:-1], m_p, n_fft))
+    return jnp.concatenate(groups, axis=-2)
+
+
 def stft(x: jnp.ndarray, n_fft: int, hop_length: int,
          win_length: Optional[int] = None, window: Optional[jnp.ndarray] = None,
          normalized: bool = False) -> jnp.ndarray:
@@ -153,13 +178,19 @@ def stft_matmul(x: jnp.ndarray, n_fft: int, hop_length: int,
 def audio_to_mel(x: jnp.ndarray, n_fft: int, hop_length: int, win_length: int,
                  sampling_rate: int, n_mel_channels: int,
                  mel_fmin: float = 0.0, mel_fmax: Optional[float] = None,
-                 method: str = 'fft') -> jnp.ndarray:
+                 method: str = 'fft',
+                 frame_order: str = 'natural') -> jnp.ndarray:
     """Log10-mel spectrogram (reference Audio2Mel, audio_to_mel.py:34-55).
 
     x: ``[B, C, T]`` or ``[B, T]`` → ``[B(, C), n_mels, n_frames]`` with
     reflect padding of (n_fft - hop)/2 on both sides, power spectrum, mel
     projection, ``log10(clamp(·, 1e-5))``. ``method='matmul'`` computes the
     STFT as one strided MXU conv (see ``stft_matmul``).
+
+    ``frame_order='any'`` allows the phase-grouped reshape framing
+    (``frame_signal_grouped``): identical frame values in permuted frame
+    order — only valid for consumers that are frame-permutation-invariant
+    (the mel loss); its VJP avoids the gather framing's scatter-add.
     """
     shape = x.shape
     if x.ndim > 2:
@@ -169,6 +200,12 @@ def audio_to_mel(x: jnp.ndarray, n_fft: int, hop_length: int, win_length: int,
     if method == 'matmul':
         re, im = stft_matmul(x, n_fft, hop_length, win_length)
         power = jnp.square(re) + jnp.square(im)
+    elif frame_order == 'any' and n_fft % hop_length == 0:
+        window = jnp.asarray(hann_window(win_length))
+        frames = frame_signal_grouped(x, n_fft, hop_length) * window
+        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)   # [B*, frames, F]
+        spec = jnp.swapaxes(spec, -1, -2)
+        power = jnp.square(spec.real) + jnp.square(spec.imag)
     else:
         spec = stft(x, n_fft, hop_length, win_length)   # [B*, F, frames]
         power = jnp.square(spec.real) + jnp.square(spec.imag)

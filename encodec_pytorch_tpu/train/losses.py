@@ -26,9 +26,12 @@ def spectral_reconstruction_loss(input_wav: jnp.ndarray, output_wav: jnp.ndarray
     """l_f: multi-scale log-mel L1+L2 (losses.py:40-42)."""
     l_f = jnp.float32(0.0)
     for i in MEL_SCALES:
+        # frame_order='any': the loss is a mean over frames, so the
+        # phase-grouped reshape framing applies — identical loss value,
+        # scatter-free backward (docs/PERF_NOTES.md)
         kwargs = dict(n_fft=2 ** i, win_length=2 ** i, hop_length=(2 ** i) // 4,
                       sampling_rate=sample_rate, n_mel_channels=64,
-                      method=stft_method)
+                      method=stft_method, frame_order='any')
         mel_x = audio_to_mel(input_wav, **kwargs)
         mel_y = audio_to_mel(output_wav, **kwargs)
         l_f = l_f + jnp.mean(jnp.abs(mel_x - mel_y)) \

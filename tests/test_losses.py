@@ -83,6 +83,49 @@ def test_stft_method_matmul_matches_fft_in_losses_and_disc():
                                    atol=5e-4, rtol=1e-3)
 
 
+def test_grouped_framing_loss_and_grad_match_gather():
+    """The phase-grouped reshape framing gives the exact same mel-loss
+    value and gradient as the natural gather framing (the loss is a mean
+    over frames; the permutation cancels)."""
+    from encodec_pytorch_tpu.ops.stft import (frame_signal,
+                                              frame_signal_grouped)
+    from encodec_pytorch_tpu.train.losses import spectral_reconstruction_loss
+
+    rng = np.random.RandomState(0)
+    # frame multiset identity
+    x1 = jnp.asarray(rng.randn(2, 700).astype(np.float32))
+    a = np.asarray(frame_signal(x1, 64, 16))
+    b = np.asarray(frame_signal_grouped(x1, 64, 16))
+    assert a.shape == b.shape
+    sa = np.sort(a.reshape(-1, 64), axis=0)
+    sb = np.sort(b.reshape(-1, 64), axis=0)
+    np.testing.assert_array_equal(sa.sum(axis=1).round(4),
+                                  sb.sum(axis=1).round(4))
+
+    x = jnp.asarray(rng.randn(2, 1, 4096).astype(np.float32) * 0.3)
+    y = x + jnp.asarray(rng.randn(2, 1, 4096).astype(np.float32) * 0.05)
+
+    def loss_natural(out):
+        # force the gather path by monkey-free means: frame_order defaults
+        # to 'natural' inside audio_to_mel
+        from encodec_pytorch_tpu.ops.stft import audio_to_mel
+        l = jnp.float32(0.0)
+        for i in range(5, 12):
+            kw = dict(n_fft=2 ** i, win_length=2 ** i,
+                      hop_length=(2 ** i) // 4, sampling_rate=24000,
+                      n_mel_channels=64)
+            mx, my = audio_to_mel(x, **kw), audio_to_mel(out, **kw)
+            l = l + jnp.mean(jnp.abs(mx - my)) + jnp.mean(jnp.square(mx - my))
+        return l
+
+    v1, g1 = jax.value_and_grad(loss_natural)(y)
+    v2, g2 = jax.value_and_grad(
+        lambda out: spectral_reconstruction_loss(x, out, 24000))(y)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-7)
+
+
 def test_mel_filterbank_properties():
     fb = mel_filterbank(24000, 1024, 64)
     assert fb.shape == (64, 513)
