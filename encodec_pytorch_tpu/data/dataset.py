@@ -176,22 +176,46 @@ class DataLoader:
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         sentinel = object()
         error: list = []
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded-queue put that gives up when the consumer abandoned the
+            # iterator (ADVICE r2: a blocking q.put leaked the thread — and,
+            # with the device_put transform, pinned queued HBM batches — for
+            # the process lifetime after an early break/exception upstream)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in gen():
-                    q.put(item)
+                    if not _put(item):
+                        return
             except BaseException as exc:  # re-raised on the consumer side
                 error.append(exc)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    break
+                yield item
+        finally:
+            stop.set()
+            while True:  # drop any pinned (possibly device-resident) batches
+                try:
+                    q.get_nowait()
+                except queue_mod.Empty:
+                    break
+            t.join(timeout=5.0)

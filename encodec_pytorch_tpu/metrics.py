@@ -78,7 +78,12 @@ def _thirdoct(fs: int, nfft: int, num_bands: int, min_freq: float):
 
 
 def _frames(x: np.ndarray, frame_len: int, hop: int) -> np.ndarray:
-    n = 1 + (len(x) - frame_len) // hop
+    """Frame starts ``range(0, len(x) - frame_len, hop)`` — pystoi's exact
+    enumeration (its stft/remove_silent_frames drop the final frame when
+    ``(len - frame_len) % hop == 0``), kept identical so scores match the
+    reference's pystoi (cal_metrics.py:57-63) bit-for-bit when it is
+    available to cross-check."""
+    n = max(0, -(-(len(x) - frame_len) // hop))
     idx = np.arange(n)[:, None] * hop + np.arange(frame_len)[None, :]
     return x[idx]
 
@@ -87,7 +92,8 @@ def _remove_silent_frames(x, y, dyn_range, frame_len, hop):
     w = np.hanning(frame_len + 2)[1:-1]
     xf = _frames(x, frame_len, hop) * w
     yf = _frames(y, frame_len, hop) * w
-    energies = 20 * np.log10(np.linalg.norm(xf, axis=1) + 1e-16)
+    energies = 20 * np.log10(np.linalg.norm(xf, axis=1)
+                             + np.finfo(np.float64).eps)
     mask = energies > (energies.max() - dyn_range)
     xf, yf = xf[mask], yf[mask]
 
@@ -106,8 +112,14 @@ def stoi(reference: np.ndarray, estimate: np.ndarray, sample_rate: int,
     """Short-Time Objective Intelligibility (Taal et al. 2010).
 
     Native implementation of the algorithm the reference uses through pystoi
-    (cal_metrics.py:57-63). Returns a value in ~[0, 1].
+    (cal_metrics.py:57-63), matching pystoi's conventions exactly — frame
+    enumeration (see ``_frames``), float-eps division guards, and the
+    extended-STOI (Jensen & Taal 2016) row/column normalization — so scores
+    are directly comparable. Cross-validated against an independent
+    loop-based implementation of the paper's equations plus frozen goldens
+    in tests/test_metrics.py. Returns a value in ~[0, 1].
     """
+    eps = np.finfo(np.float64).eps
     x = np.asarray(reference, np.float64).reshape(-1)
     y = np.asarray(estimate, np.float64).reshape(-1)
     n = min(len(x), len(y))
@@ -131,6 +143,18 @@ def stoi(reference: np.ndarray, estimate: np.ndarray, sample_rate: int,
     if X.shape[1] < _SEG:
         raise ValueError("signal too short for STOI (needs ≥ 384 ms of speech)")
 
+    if extended:
+        # Jensen & Taal 2016: per-segment row (time) then column (band)
+        # mean/variance normalization of BOTH signals, no clipping
+        d_sum = 0.0
+        segs = 0
+        for m in range(_SEG, X.shape[1] + 1):
+            Xn = _row_col_normalize(X[:, m - _SEG:m], eps)
+            Yn = _row_col_normalize(Y[:, m - _SEG:m], eps)
+            d_sum += np.sum(Xn * Yn) / _SEG
+            segs += 1
+        return float(d_sum / segs)
+
     d_sum = 0.0
     count = 0
     c = 10 ** (-_BETA / 20)
@@ -138,16 +162,27 @@ def stoi(reference: np.ndarray, estimate: np.ndarray, sample_rate: int,
         Xs = X[:, m - _SEG:m]
         Ys = Y[:, m - _SEG:m]
         alpha = np.linalg.norm(Xs, axis=1, keepdims=True) / \
-            (np.linalg.norm(Ys, axis=1, keepdims=True) + 1e-16)
+            (np.linalg.norm(Ys, axis=1, keepdims=True) + eps)
         Ys_n = Ys * alpha
         Ys_c = np.minimum(Ys_n, Xs * (1 + c))
         Xm = Xs - Xs.mean(axis=1, keepdims=True)
         Ym = Ys_c - Ys_c.mean(axis=1, keepdims=True)
         num = np.sum(Xm * Ym, axis=1)
-        den = np.linalg.norm(Xm, axis=1) * np.linalg.norm(Ym, axis=1) + 1e-16
+        den = np.linalg.norm(Xm, axis=1) * np.linalg.norm(Ym, axis=1) + eps
         d_sum += np.sum(num / den)
         count += _NBANDS
     return float(d_sum / count)
+
+
+def _row_col_normalize(seg: np.ndarray, eps: float) -> np.ndarray:
+    """Extended-STOI normalization: zero-mean/unit-norm each band row over
+    time, then each time column over bands (pystoi row_col_normalize,
+    without its tie-breaking noise — deterministic)."""
+    s = seg - seg.mean(axis=1, keepdims=True)
+    s = s / (np.linalg.norm(s, axis=1, keepdims=True) + eps)
+    s = s - s.mean(axis=0, keepdims=True)
+    s = s / (np.linalg.norm(s, axis=0, keepdims=True) + eps)
+    return s
 
 
 # -------------------------------------------------- optional C-library wraps

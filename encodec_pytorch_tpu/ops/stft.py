@@ -77,6 +77,16 @@ def hann_window(win_length: int) -> np.ndarray:
     return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(np.float32)
 
 
+def _centered_window(n_fft: int, win_length: int) -> np.ndarray:
+    """Hann window zero-padded to ``n_fft``, centered — torch.stft pads a
+    ``win_length < n_fft`` window on both sides to length n_fft (left pad
+    ``(n_fft - win_length) // 2``)."""
+    w = np.zeros(n_fft, dtype=np.float32)
+    off = (n_fft - win_length) // 2
+    w[off:off + win_length] = hann_window(win_length)
+    return w
+
+
 def frame_signal(x: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
     """x ``[..., T]`` → frames ``[..., n_frames, n_fft]`` (center=False)."""
     T = x.shape[-1]
@@ -122,7 +132,7 @@ def stft(x: jnp.ndarray, n_fft: int, hop_length: int,
     """
     win_length = win_length or n_fft
     if window is None:
-        window = jnp.asarray(hann_window(win_length))
+        window = jnp.asarray(_centered_window(n_fft, win_length))
     frames = frame_signal(x, n_fft, hop_length) * window
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)      # [..., n_frames, F]
     if normalized:
@@ -143,8 +153,7 @@ def _dft_kernel(n_fft: int, win_length: int) -> np.ndarray:
     n = np.arange(n_fft)[:, None]
     f = np.arange(1 + n_fft // 2)[None, :]
     ang = -2.0 * np.pi * n * f / n_fft
-    w = np.zeros(n_fft)
-    w[:win_length] = hann_window(win_length)
+    w = _centered_window(n_fft, win_length).astype(np.float64)
     basis = np.concatenate([np.cos(ang), np.sin(ang)], axis=1) * w[:, None]
     return basis.astype(np.float32)[:, None, :]
 
@@ -201,7 +210,7 @@ def audio_to_mel(x: jnp.ndarray, n_fft: int, hop_length: int, win_length: int,
         re, im = stft_matmul(x, n_fft, hop_length, win_length)
         power = jnp.square(re) + jnp.square(im)
     elif frame_order == 'any' and n_fft % hop_length == 0:
-        window = jnp.asarray(hann_window(win_length))
+        window = jnp.asarray(_centered_window(n_fft, win_length))
         frames = frame_signal_grouped(x, n_fft, hop_length) * window
         spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)   # [B*, frames, F]
         spec = jnp.swapaxes(spec, -1, -2)

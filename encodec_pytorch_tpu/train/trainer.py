@@ -378,16 +378,23 @@ class Trainer:
         async_write = True
         if 'tpu' in cfg:
             async_write = bool(cfg.tpu.get('async_checkpoint', True))
-        save_checkpoint(path, self.state, epoch, async_write=async_write)
-        logger.info('saved checkpoint %s', path)
-        if self.wandb:
-            try:
-                art = self.wandb.Artifact(
-                    f'checkpoint-epoch{epoch}', type='model')
-                art.add_file(path)
-                self.wandb.log_artifact(art)
-            except Exception as exc:
-                logger.warning('wandb artifact upload failed: %s', exc)
+        def _on_written(p, _epoch=epoch):
+            # runs on the writer thread for async saves — only claim success
+            # (and hand the file to wandb) once the write actually landed
+            logger.info('saved checkpoint %s', p)
+            if self.wandb:
+                try:
+                    art = self.wandb.Artifact(
+                        f'checkpoint-epoch{_epoch}', type='model')
+                    art.add_file(p)
+                    self.wandb.log_artifact(art)
+                except Exception as exc:
+                    logger.warning('wandb artifact upload failed: %s', exc)
+
+        if async_write:
+            logger.info('checkpoint write scheduled: %s', path)
+        save_checkpoint(path, self.state, epoch, async_write=async_write,
+                        on_written=_on_written)
 
     def run(self):
         cfg = self.config

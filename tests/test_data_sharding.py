@@ -108,3 +108,26 @@ def test_loader_prefetch_propagates_worker_errors():
     with pytest.raises(RuntimeError, match='bad sample'):
         for _ in loader:
             pass
+
+
+def test_loader_prefetch_thread_exits_on_abandoned_iteration():
+    """Breaking out of iteration early must unblock and terminate the
+    prefetch worker (ADVICE r2: it previously blocked forever on q.put,
+    leaking a thread that pinned queued device batches)."""
+    import threading
+    import time
+
+    before = {t.ident for t in threading.enumerate()}
+    ds = _IndexDataset(64)
+    loader = DataLoader(ds, 2, shuffle=False, seed=0, prefetch=2)
+    it = iter(loader)
+    next(it)  # worker is now blocked on the full bounded queue
+    it.close()  # abandon: GeneratorExit runs the finally → stop + drain
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        leaked = [t for t in threading.enumerate()
+                  if t.ident not in before and t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f'prefetch worker leaked: {leaked}'

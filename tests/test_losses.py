@@ -46,7 +46,8 @@ def test_stft_matmul_matches_fft():
 
     rng = np.random.RandomState(0)
     for n_fft, hop, win, norm in [(256, 64, 256, False), (128, 32, 128, True),
-                                  (64, 16, 64, False)]:
+                                  (64, 16, 64, False), (256, 64, 128, False),
+                                  (128, 32, 64, True)]:
         x = jnp.asarray(rng.randn(2, 3, 2048).astype(np.float32))
         ref = stft(x, n_fft, hop, win, normalized=norm)
         re, im = stft_matmul(x, n_fft, hop, win, normalized=norm)
@@ -55,6 +56,29 @@ def test_stft_matmul_matches_fft():
                                    atol=2e-4 * scale, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(im), np.asarray(ref.imag),
                                    atol=2e-4 * scale, rtol=1e-4)
+
+
+def test_stft_short_window_matches_torch():
+    """win_length < n_fft: torch.stft center-pads the window to n_fft —
+    both our fft and matmul paths must match (ADVICE r2: the old kernel
+    left-aligned the window and the fft path broadcast-errored)."""
+    from encodec_pytorch_tpu.ops.stft import stft_matmul
+
+    torch.manual_seed(3)
+    for n_fft, hop, win in [(256, 64, 128), (128, 32, 96), (64, 16, 32)]:
+        xt = torch.randn(2, 1024)
+        ref = torch.stft(xt, n_fft=n_fft, hop_length=hop, win_length=win,
+                         window=torch.hann_window(win), center=False,
+                         return_complex=True).numpy()
+        x = jnp.asarray(xt.numpy())
+        ours = np.asarray(stft(x, n_fft, hop, win))
+        np.testing.assert_allclose(ours.real, ref.real, atol=1e-3, rtol=1e-4)
+        np.testing.assert_allclose(ours.imag, ref.imag, atol=1e-3, rtol=1e-4)
+        re, im = stft_matmul(x, n_fft, hop, win)
+        np.testing.assert_allclose(np.asarray(re), ref.real, atol=2e-3,
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(im), ref.imag, atol=2e-3,
+                                   rtol=1e-4)
 
 
 def test_stft_method_matmul_matches_fft_in_losses_and_disc():

@@ -133,3 +133,40 @@ def test_checkpoint_async_atomic(dataset_dir, tmp_path):
     assert epoch == 3
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_meta_rides_in_blob(dataset_dir, tmp_path):
+    """The epoch is read from the in-blob footer, atomic with the weights —
+    a stale/absent sidecar (crash between renames, ADVICE r2) cannot pair
+    the new blob with an old epoch. The sidecar only serves pre-footer
+    checkpoints."""
+    import os
+
+    import jax
+    from encodec_pytorch_tpu.models.model import EncodecModel
+    from encodec_pytorch_tpu.models.msstftd import MultiScaleSTFTDiscriminator
+    from encodec_pytorch_tpu.train.balancer import Balancer
+    from encodec_pytorch_tpu.train.step import init_train_state
+    model = EncodecModel._get_model([1.5], 24000, 1, n_q=2, n_filters=4)
+    disc = MultiScaleSTFTDiscriminator(filters=4, n_ffts=(128,),
+                                       hop_lengths=(32,), win_lengths=(128,))
+    bal = Balancer({'l_t': 1.0})
+    state = init_train_state(model, disc, bal, jax.random.PRNGKey(2), 2400)
+    path = str(tmp_path / 'footer.ckpt')
+    save_checkpoint(path, state, epoch=9)
+    # simulate the crash: sidecar lost entirely / replaced with a stale epoch
+    os.remove(path + '.meta.json')
+    _, epoch = load_checkpoint(path, state)
+    assert epoch == 9
+    with open(path + '.meta.json', 'w') as f:
+        f.write('{"epoch": 1, "step": 0}')
+    _, epoch = load_checkpoint(path, state)
+    assert epoch == 9  # footer wins over the stale sidecar
+    # success callback fires after the write lands (async path)
+    from encodec_pytorch_tpu.train.checkpoint import wait_pending
+    landed = []
+    save_checkpoint(path, state, epoch=11, async_write=True,
+                    on_written=lambda p: landed.append(
+                        (p, os.path.getsize(p) > 0)))
+    wait_pending()
+    assert landed == [(path, True)]
