@@ -27,7 +27,17 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                            process_id: Optional[int] = None):
     """Multi-host init (the reference's init_process_group analogue,
     train_multi_gpu.py:244-266). No-op for single-process runs; env-driven
-    (``JAX_COORDINATOR``/SLURM/TPU metadata) otherwise."""
+    otherwise: explicit ``JAX_COORDINATOR``/``JAX_NUM_PROCESSES``/
+    ``JAX_PROCESS_ID`` (the launcher contract, scripts/train.sbatch /
+    train_pod.sh) take precedence, else jax auto-detects from SLURM env or
+    TPU pod metadata."""
+    if num_processes is None and os.environ.get('JAX_NUM_PROCESSES'):
+        num_processes = int(os.environ['JAX_NUM_PROCESSES'])
+    if process_id is None and os.environ.get('JAX_PROCESS_ID'):
+        process_id = int(os.environ['JAX_PROCESS_ID'])
+    coordinator_address = coordinator_address or os.environ.get('JAX_COORDINATOR')
+    if coordinator_address == 'auto':  # TPU-pod metadata discovery
+        coordinator_address = None
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,

@@ -164,7 +164,16 @@ def main(argv=None):
                    help='max |jax - torch| waveform divergence allowed')
     p.add_argument('--mel-tol', type=float, default=0.02,
                    help='max |mel_jax - mel_torch| quality-metric gap allowed')
+    p.add_argument('--dry-run', action='store_true',
+                   help='smoke-test the full arg/checkpoint/conversion path '
+                        'fast: 1 clip, 1 s, lowest bandwidth only, no report '
+                        'file — keeps the real-weights invocation warm for '
+                        'when encodec_24khz-d7cc33bc.th is available')
     args = p.parse_args(argv)
+    if args.dry_run:
+        args.n_clips, args.seconds = 1, 1.0
+        args.bandwidths = args.bandwidths[:1]
+        args.out = ''
 
     from encodec_pytorch_tpu import metrics as M
 
