@@ -334,8 +334,11 @@ class StreamingSEANet:
                 state[op.name] = jnp.zeros(
                     (batch_size, op.carry_len, op.out_ch), jnp.float32)
             elif isinstance(op, LstmSpec):
-                z = jnp.zeros((op.num_layers, batch_size, op.dim), jnp.float32)
-                state[op.name] = (z, z)
+                # distinct h/c buffers: the fused roundtrip donates the state
+                # pytree, and XLA rejects donating one buffer twice
+                state[op.name] = (
+                    jnp.zeros((op.num_layers, batch_size, op.dim), jnp.float32),
+                    jnp.zeros((op.num_layers, batch_size, op.dim), jnp.float32))
             elif isinstance(op, BlockSpec):
                 state[op.name] = {
                     c.name: jnp.zeros((batch_size, c.carry_len, c.in_ch),
@@ -411,6 +414,7 @@ class StreamingCodec:
         self.decoder = StreamingSEANet(model.decoder)
         self._enc_jit = {}
         self._dec_jit = {}
+        self._rt_jit = {}
 
     @property
     def min_first_chunk_samples(self) -> int:
@@ -456,3 +460,42 @@ class StreamingCodec:
             self._dec_jit[first] = fn
         return fn(variables['params']['decoder'], variables['quantizer'],
                   state, codes)
+
+    def roundtrip_chunk(self, variables, enc_state, dec_state, wav,
+                        first: bool = False):
+        """Fused low-latency serving path: encode + quantize + dequantize +
+        decode of one chunk in ONE jitted program with DONATED carry state
+        (VERDICT r2 item 7 — the 2-call path paid two dispatch fences and
+        ~60 kernels of launch overhead at 320-sample chunks while the chip
+        sat idle; donation lets XLA update the conv/LSTM carries in place).
+
+        wav [B, C, T] (T % hop == 0) →
+        (wav_out [B, C, T], codes [B, K, T/hop], enc_state, dec_state).
+
+        Numerically identical to encode_chunk → decode_chunk (asserted in
+        tests/test_streaming.py) — same layer math, one program.
+        """
+        assert wav.shape[-1] % self.hop == 0, \
+            f'chunk length {wav.shape[-1]} must be a multiple of {self.hop}'
+        fn = self._rt_jit.get(first)
+        if fn is None:
+            from .quantization.core_vq import rvq_decode
+
+            def _fn(params, qstate, enc_state, dec_state, x, n_q):
+                emb, new_enc = self.encoder.apply(params['encoder'], enc_state,
+                                                  x, first=first)
+                codes = self.model._rvq_encode_impl(qstate, emb, n_q)  # [K,B,t]
+                deq = rvq_decode(qstate, codes)
+                y, new_dec = self.decoder.apply(params['decoder'], dec_state,
+                                                deq, first=first)
+                return (jnp.swapaxes(y, 1, 2),
+                        jnp.transpose(codes, (1, 0, 2)), new_enc, new_dec)
+
+            # donate the carry states (argnums 2, 3): they are consumed and
+            # replaced every chunk, so XLA reuses their buffers in place
+            fn = jax.jit(_fn, static_argnums=5, donate_argnums=(2, 3))
+            self._rt_jit[first] = fn
+        n_q = self.model.quantizer.num_quantizers_for_bandwidth(
+            self.model.frame_rate, self.model.bandwidth)
+        return fn(variables['params'], variables['quantizer'],
+                  enc_state, dec_state, jnp.swapaxes(wav, 1, 2), n_q)

@@ -128,6 +128,35 @@ def test_streaming_codec_end_to_end():
                                atol=2e-5, rtol=1e-5)
 
 
+def test_streaming_fused_roundtrip_matches_two_call():
+    """roundtrip_chunk (one jitted program, donated state) is numerically
+    identical to encode_chunk → decode_chunk, chunk by chunk."""
+    model, variables = _small_model()
+    codec = StreamingCodec(model)
+    codec2 = StreamingCodec(model)
+    hop = codec.hop
+    T = hop * 24
+    rng = np.random.RandomState(5)
+    wav = jnp.asarray(0.3 * rng.randn(1, 1, T).astype(np.float32))
+
+    enc_a, dec_a = codec.init_state(1)
+    enc_b, dec_b = codec2.init_state(1)
+    first = codec.min_first_chunk_samples
+    pos = 0
+    for i, n in enumerate(_chunks(T, first, hop)):
+        chunk = wav[:, :, pos:pos + n]
+        codes_a, enc_a = codec.encode_chunk(variables, enc_a, chunk,
+                                            first=(i == 0))
+        out_a, dec_a = codec.decode_chunk(variables, dec_a, codes_a,
+                                          first=(i == 0))
+        out_b, codes_b, enc_b, dec_b = codec2.roundtrip_chunk(
+            variables, enc_b, dec_b, chunk, first=(i == 0))
+        np.testing.assert_array_equal(np.asarray(codes_b), np.asarray(codes_a))
+        np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a),
+                                   atol=2e-6, rtol=1e-6)
+        pos += n
+
+
 def test_streaming_rejects_bad_chunk():
     model, variables = _small_model()
     codec = StreamingCodec(model)
