@@ -48,6 +48,10 @@ class DiscriminatorSTFT(nn.Module):
     activation_slope: float = 0.2
     stft_method: str = 'fft'   # 'fft' | 'matmul' (DFT as one strided MXU conv)
     dtype: Any = jnp.float32
+    fpack: int = 4   # F-phase output packing for the narrow-channel convs
+                     # (ops/conv2d_pack.py): the 32-lane conv stack fills the
+                     # MXU at `fpack`x output lanes; 0/1 disables. conv_post
+                     # (1 output channel) always stays on the plain conv.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -70,7 +74,8 @@ class DiscriminatorSTFT(nn.Module):
         out_chs = min(self.filters_scale * self.filters, self.max_filters)
         z = NormConv2d(in_chs, self.filters, kernel_size=self.kernel_size,
                        padding=get_2d_padding(self.kernel_size),
-                       norm='none', dtype=self.dtype, name='conv_0')(z)
+                       norm='none', dtype=self.dtype, fpack=self.fpack,
+                       name='conv_0')(z)
         z = act(z)
         fmap.append(z)
         in_chs = min(self.filters_scale * self.filters, self.max_filters)
@@ -80,7 +85,7 @@ class DiscriminatorSTFT(nn.Module):
             z = NormConv2d(in_chs, out_chs, kernel_size=self.kernel_size,
                            stride=self.stride, dilation=(dilation, 1),
                            padding=get_2d_padding(self.kernel_size, (dilation, 1)),
-                           norm=self.norm, dtype=self.dtype,
+                           norm=self.norm, dtype=self.dtype, fpack=self.fpack,
                            name=f'conv_{i + 1}')(z)
             z = act(z)
             fmap.append(z)
@@ -90,7 +95,8 @@ class DiscriminatorSTFT(nn.Module):
         ks = (self.kernel_size[0], self.kernel_size[0])
         z = NormConv2d(in_chs, out_chs, kernel_size=ks,
                        padding=get_2d_padding(ks), norm=self.norm,
-                       dtype=self.dtype, name=f'conv_{len(self.dilations) + 1}')(z)
+                       dtype=self.dtype, fpack=self.fpack,
+                       name=f'conv_{len(self.dilations) + 1}')(z)
         z = act(z)
         fmap.append(z)
         z = NormConv2d(out_chs, self.out_channels, kernel_size=ks,
@@ -116,6 +122,7 @@ class MultiScaleSTFTDiscriminator(nn.Module):
     norm: str = 'weight_norm'
     stft_method: str = 'fft'
     dtype: Any = jnp.float32
+    fpack: int = 4
 
     @property
     def num_discriminators(self) -> int:
@@ -131,7 +138,7 @@ class MultiScaleSTFTDiscriminator(nn.Module):
                 out_channels=self.out_channels, n_fft=self.n_ffts[i],
                 win_length=self.win_lengths[i], hop_length=self.hop_lengths[i],
                 norm=self.norm, stft_method=self.stft_method,
-                dtype=self.dtype, name=f'disc_{i}')(x)
+                dtype=self.dtype, fpack=self.fpack, name=f'disc_{i}')(x)
             logits.append(logit)
             fmaps.append(fmap)
         return logits, fmaps

@@ -192,6 +192,10 @@ class NormConv2d(nn.Module):
     use_bias: bool = True
     norm: str = 'none'
     dtype: Any = jnp.float32
+    fpack: int = 0   # >1: F-phase output-packed lowering (ops/conv2d_pack.py)
+                     # — packs `fpack` output W positions into the channel
+                     # dim so narrow-channel convs fill the MXU lanes;
+                     # numerically equal to the plain conv (fp order aside)
 
     @nn.compact
     def __call__(self, x):
@@ -219,12 +223,19 @@ class NormConv2d(nn.Module):
             raise NotImplementedError(f"norm '{self.norm}' unsupported")
 
         ph, pw = self.padding
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=self.stride, padding=((ph, ph), (pw, pw)),
-            rhs_dilation=self.dilation,
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-            preferred_element_type=_preferred(self.dtype))
+        if self.fpack > 1 and self.dilation[1] == 1:
+            from .conv2d_pack import conv2d_fpack
+            y = conv2d_fpack(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                self.stride, self.dilation, self.padding, phases=self.fpack,
+                preferred_element_type=_preferred(self.dtype))
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=self.stride, padding=((ph, ph), (pw, pw)),
+                rhs_dilation=self.dilation,
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                preferred_element_type=_preferred(self.dtype))
         if self.use_bias:
             bias = self.param('bias', _uniform_init(bound),
                               (self.out_channels,), jnp.float32)

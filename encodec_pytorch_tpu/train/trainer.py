@@ -90,6 +90,9 @@ def _stft_method(config: Config) -> str:
 
 def build_disc_from_config(config: Config) -> MultiScaleSTFTDiscriminator:
     """Discriminator factory mirroring train_multi_gpu.py:208-215."""
+    fpack = 4
+    if 'tpu' in config:
+        fpack = int(config.tpu.get('disc_fpack', 4))
     return MultiScaleSTFTDiscriminator(
         in_channels=int(config.model.channels),
         out_channels=int(config.model.channels),
@@ -98,7 +101,8 @@ def build_disc_from_config(config: Config) -> MultiScaleSTFTDiscriminator:
         win_lengths=tuple(config.model.disc_win_lengths),
         n_ffts=tuple(config.model.disc_n_ffts),
         stft_method=_stft_method(config),
-        dtype=_compute_dtype(config))
+        dtype=_compute_dtype(config),
+        fpack=fpack)
 
 
 def build_dataset(config: Config, mode: str):

@@ -39,6 +39,8 @@ def main():
     p.add_argument('--no_shared_vjp', action='store_true',
                    help='use the monolithic losses VJP instead of the '
                         'path-split shared-disc-forward VJPs')
+    p.add_argument('--fpack', type=int, default=4,
+                   help='disc F-phase output packing (0 disables)')
     p.add_argument('--profile_dir', default='')
     args = p.parse_args()
 
@@ -58,7 +60,7 @@ def main():
         name='my_encodec', dtype=dtype)
     disc = MultiScaleSTFTDiscriminator(
         filters=32, n_ffts=(1024, 2048, 512), hop_lengths=(256, 512, 128),
-        win_lengths=(1024, 2048, 512), dtype=dtype)
+        win_lengths=(1024, 2048, 512), dtype=dtype, fpack=args.fpack)
     balancer = Balancer({'l_t': 0.1, 'l_f': 1, 'l_g': 3, 'l_feat': 3})
     sched = warmup_cosine_schedule(3e-4, max_iter=100_000, eta_ratio=0.1,
                                    warmup_iter=5000, warmup_ratio=1e-4)
@@ -105,7 +107,7 @@ def main():
 
     audio_s = args.batch * args.cut / 24_000
     print(f'config: batch={args.batch} cut={args.cut} chunk={args.chunk} '
-          f'remat={args.remat} dtype={args.dtype}')
+          f'remat={args.remat} dtype={args.dtype} fpack={args.fpack}')
     print(f'step time: {dt * 1e3:.1f} ms  '
           f'({audio_s / dt:.1f} audio-seconds/s per chip)')
     print(f'loss_g={float(metrics["loss_g"]):.4f} '
