@@ -52,6 +52,9 @@ class DiscriminatorSTFT(nn.Module):
                      # (ops/conv2d_pack.py): the 32-lane conv stack fills the
                      # MXU at `fpack`x output lanes; 0/1 disables. conv_post
                      # (1 output channel) always stays on the plain conv.
+    fpack_dx: bool = True   # phase-packed custom input-gradient for the
+                            # fpack'd convs (conv2d_fpack_dx); False =
+                            # XLA autodiff backward
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -75,6 +78,7 @@ class DiscriminatorSTFT(nn.Module):
         z = NormConv2d(in_chs, self.filters, kernel_size=self.kernel_size,
                        padding=get_2d_padding(self.kernel_size),
                        norm='none', dtype=self.dtype, fpack=self.fpack,
+                       fpack_dx=self.fpack_dx,
                        name='conv_0')(z)
         z = act(z)
         fmap.append(z)
@@ -86,6 +90,7 @@ class DiscriminatorSTFT(nn.Module):
                            stride=self.stride, dilation=(dilation, 1),
                            padding=get_2d_padding(self.kernel_size, (dilation, 1)),
                            norm=self.norm, dtype=self.dtype, fpack=self.fpack,
+                           fpack_dx=self.fpack_dx,
                            name=f'conv_{i + 1}')(z)
             z = act(z)
             fmap.append(z)
@@ -96,6 +101,7 @@ class DiscriminatorSTFT(nn.Module):
         z = NormConv2d(in_chs, out_chs, kernel_size=ks,
                        padding=get_2d_padding(ks), norm=self.norm,
                        dtype=self.dtype, fpack=self.fpack,
+                       fpack_dx=self.fpack_dx,
                        name=f'conv_{len(self.dilations) + 1}')(z)
         z = act(z)
         fmap.append(z)
@@ -123,6 +129,7 @@ class MultiScaleSTFTDiscriminator(nn.Module):
     stft_method: str = 'fft'
     dtype: Any = jnp.float32
     fpack: int = 4
+    fpack_dx: bool = True
 
     @property
     def num_discriminators(self) -> int:
@@ -138,7 +145,8 @@ class MultiScaleSTFTDiscriminator(nn.Module):
                 out_channels=self.out_channels, n_fft=self.n_ffts[i],
                 win_length=self.win_lengths[i], hop_length=self.hop_lengths[i],
                 norm=self.norm, stft_method=self.stft_method,
-                dtype=self.dtype, fpack=self.fpack, name=f'disc_{i}')(x)
+                dtype=self.dtype, fpack=self.fpack,
+                fpack_dx=self.fpack_dx, name=f'disc_{i}')(x)
             logits.append(logit)
             fmaps.append(fmap)
         return logits, fmaps

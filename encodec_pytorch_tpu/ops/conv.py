@@ -196,6 +196,9 @@ class NormConv2d(nn.Module):
                      # — packs `fpack` output W positions into the channel
                      # dim so narrow-channel convs fill the MXU lanes;
                      # numerically equal to the plain conv (fp order aside)
+    fpack_dx: bool = True   # custom phase-packed input-gradient for the
+                            # fpack'd conv (conv2d_fpack_dx) — same math
+                            # re-associated; False falls back to autodiff
 
     @nn.compact
     def __call__(self, x):
@@ -228,7 +231,8 @@ class NormConv2d(nn.Module):
             y = conv2d_fpack(
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 self.stride, self.dilation, self.padding, phases=self.fpack,
-                preferred_element_type=_preferred(self.dtype))
+                preferred_element_type=_preferred(self.dtype),
+                custom_dx=None if self.fpack_dx else False)
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype),

@@ -70,7 +70,8 @@ def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
                      balancer: Balancer, gen_schedule, disc_schedule,
                      disc_prob: float, sample_rate: int,
                      remat: bool = False, balancer_vjp_chunk: int = 1,
-                     stft_method: str = 'fft', shared_disc_vjp: bool = True):
+                     stft_method: str = 'fft', shared_disc_vjp: bool = True,
+                     disc_cond_update: bool = True):
     """Returns ``step_fn(state, batch, rng, disc_allowed) -> (state, metrics)``
     (not yet jitted — the trainer jits it with shardings/donation).
 
@@ -90,6 +91,13 @@ def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
     reuses the same forwards' residuals for its parameter gradients. Same
     math, ~2 fewer disc forwards and no dead weight-gradient work in the
     generator VJPs. Requires ``balancer_vjp_chunk == 1``.
+    ``disc_cond_update``: True gates the disc update under ``lax.cond``
+    (skipped steps skip the backward FLOPs); False always computes the
+    update and masks its application with ``jnp.where``. The cond boundary
+    forces XLA to layout-canonicalize every disc-forward residual the
+    update's VJP closures capture (~100 ms of relayout copies per step in
+    the round-3 profiler trace), so masking is faster whenever
+    ``disc_prob`` ≥ ~0.5 despite the wasted FLOPs on skipped steps.
     """
     opt = make_optimizers()
 
@@ -231,8 +239,18 @@ def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
         def disc_noop(_):
             return state.params_d, state.opt_d, jnp.float32(0.0)
 
-        new_params_d, new_opt_d, ld = jax.lax.cond(train_disc, disc_update,
-                                                   disc_noop, operand=None)
+        if disc_cond_update:
+            new_params_d, new_opt_d, ld = jax.lax.cond(
+                train_disc, disc_update, disc_noop, operand=None)
+        else:
+            # unconditional compute + masked apply: same update math, but no
+            # cond boundary -> no layout canonicalization of the captured
+            # disc-forward residuals (see docstring)
+            cand_params_d, cand_opt_d, ld_full = disc_update(None)
+            sel = lambda a, b: jnp.where(train_disc, a, b)
+            new_params_d = jax.tree.map(sel, cand_params_d, state.params_d)
+            new_opt_d = jax.tree.map(sel, cand_opt_d, state.opt_d)
+            ld = jnp.where(train_disc, ld_full, jnp.float32(0.0))
 
         # naive weighted sum for logging (train_multi_gpu.py:88)
         loss_g = sum(balancer.weights[k] * loss_vals[k] for k in names)

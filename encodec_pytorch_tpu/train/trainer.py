@@ -91,8 +91,10 @@ def _stft_method(config: Config) -> str:
 def build_disc_from_config(config: Config) -> MultiScaleSTFTDiscriminator:
     """Discriminator factory mirroring train_multi_gpu.py:208-215."""
     fpack = 4
+    fpack_dx = True
     if 'tpu' in config:
         fpack = int(config.tpu.get('disc_fpack', 4))
+        fpack_dx = bool(config.tpu.get('disc_fpack_dx', True))
     return MultiScaleSTFTDiscriminator(
         in_channels=int(config.model.channels),
         out_channels=int(config.model.channels),
@@ -102,7 +104,7 @@ def build_disc_from_config(config: Config) -> MultiScaleSTFTDiscriminator:
         n_ffts=tuple(config.model.disc_n_ffts),
         stft_method=_stft_method(config),
         dtype=_compute_dtype(config),
-        fpack=fpack)
+        fpack=fpack, fpack_dx=fpack_dx)
 
 
 def build_dataset(config: Config, mode: str):
@@ -187,10 +189,19 @@ class Trainer:
         remat = False
         vjp_chunk = 1
         shared_vjp = True
+        # auto: lax.cond only pays off when most steps SKIP the disc update
+        # (the cond boundary costs ~13 ms/step in relayout copies of the
+        # captured disc residuals — PERF_NOTES "masked disc update"); with
+        # the shipped train_discriminator: True the branch always runs, so
+        # masked-apply is strictly faster.
+        disc_cond = None
         if 'tpu' in config:
             remat = bool(config.tpu.get('remat', False))
             vjp_chunk = int(config.tpu.get('balancer_vjp_chunk', 1))
             shared_vjp = bool(config.tpu.get('shared_disc_vjp', True))
+            disc_cond = config.tpu.get('disc_cond_update', None)
+        if disc_cond is None:
+            disc_cond = self.disc_prob < 0.5
         step_fn = build_train_step(self.model, self.disc, self.balancer,
                                    gen_sched, disc_sched,
                                    disc_prob=self.disc_prob,
@@ -198,7 +209,8 @@ class Trainer:
                                    remat=remat,
                                    balancer_vjp_chunk=vjp_chunk,
                                    stft_method=_stft_method(config),
-                                   shared_disc_vjp=shared_vjp)
+                                   shared_disc_vjp=shared_vjp,
+                                   disc_cond_update=bool(disc_cond))
         repl = replicated_sharding(self.mesh)
         donate_state = True
         if 'tpu' in config:

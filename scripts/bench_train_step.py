@@ -41,6 +41,12 @@ def main():
                         'path-split shared-disc-forward VJPs')
     p.add_argument('--fpack', type=int, default=4,
                    help='disc F-phase output packing (0 disables)')
+    p.add_argument('--disc_mask', action='store_true',
+                   help='masked (unconditional-compute) disc update instead '
+                        'of the lax.cond-gated one')
+    p.add_argument('--no_fpack_dx', action='store_true',
+                   help='disable the custom phase-packed disc input-gradient '
+                        '(falls back to XLA autodiff of the packed conv)')
     p.add_argument('--profile_dir', default='')
     args = p.parse_args()
 
@@ -60,7 +66,8 @@ def main():
         name='my_encodec', dtype=dtype)
     disc = MultiScaleSTFTDiscriminator(
         filters=32, n_ffts=(1024, 2048, 512), hop_lengths=(256, 512, 128),
-        win_lengths=(1024, 2048, 512), dtype=dtype, fpack=args.fpack)
+        win_lengths=(1024, 2048, 512), dtype=dtype, fpack=args.fpack,
+        fpack_dx=not args.no_fpack_dx)
     balancer = Balancer({'l_t': 0.1, 'l_f': 1, 'l_g': 3, 'l_feat': 3})
     sched = warmup_cosine_schedule(3e-4, max_iter=100_000, eta_ratio=0.1,
                                    warmup_iter=5000, warmup_ratio=1e-4)
@@ -68,7 +75,8 @@ def main():
                                disc_prob=args.disc_prob, sample_rate=24_000,
                                remat=args.remat,
                                balancer_vjp_chunk=args.chunk,
-                               shared_disc_vjp=not args.no_shared_vjp)
+                               shared_disc_vjp=not args.no_shared_vjp,
+                               disc_cond_update=not args.disc_mask)
 
     mesh = create_mesh(0)
     repl = replicated_sharding(mesh)
@@ -107,7 +115,8 @@ def main():
 
     audio_s = args.batch * args.cut / 24_000
     print(f'config: batch={args.batch} cut={args.cut} chunk={args.chunk} '
-          f'remat={args.remat} dtype={args.dtype} fpack={args.fpack}')
+          f'remat={args.remat} dtype={args.dtype} fpack={args.fpack} '
+          f'fpack_dx={not args.no_fpack_dx} disc_mask={args.disc_mask}')
     print(f'step time: {dt * 1e3:.1f} ms  '
           f'({audio_s / dt:.1f} audio-seconds/s per chip)')
     print(f'loss_g={float(metrics["loss_g"]):.4f} '

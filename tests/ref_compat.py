@@ -48,8 +48,12 @@ def install_audio_stubs():
         sys.modules['librosa'] = librosa
         sys.modules['librosa.filters'] = filters
 
-    if 'torchaudio' not in sys.modules:
-        ta = types.ModuleType('torchaudio')
+    # Another tool may have installed a BARE torchaudio stub (e.g.
+    # scripts/parity_eval.py's _import_reference_model) — upgrade it with the
+    # Spectrogram the reference discriminator needs rather than skipping.
+    if ('torchaudio' not in sys.modules
+            or not hasattr(sys.modules['torchaudio'], 'transforms')):
+        ta = sys.modules.get('torchaudio') or types.ModuleType('torchaudio')
         tr = types.ModuleType('torchaudio.transforms')
 
         class Spectrogram(torch.nn.Module):

@@ -118,3 +118,45 @@ def test_balancer_vjp_chunk_and_remat_equivalence():
                         jax.tree.leaves(alt_state.params_g)):
             np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6,
                                        err_msg=str(kw))
+
+
+def test_masked_disc_update_matches_cond():
+    """disc_cond_update=False (unconditional compute + jnp.where apply —
+    the TPU-fast path, PERF_NOTES 'masked disc update') must produce
+    exactly the same new state and metrics as the lax.cond-gated update,
+    both when the update fires and when it is gated off."""
+    model = EncodecModel._get_model(
+        [1.5, 3.], 24000, 1, causal=True, model_norm='weight_norm',
+        audio_normalize=False, segment=None, n_q=2, n_filters=4)
+    disc = MultiScaleSTFTDiscriminator(
+        filters=4, n_ffts=(256, 128), hop_lengths=(64, 32),
+        win_lengths=(256, 128))
+    balancer = Balancer({'l_t': 0.1, 'l_f': 1, 'l_g': 3, 'l_feat': 3})
+    sched = warmup_cosine_schedule(3e-4, max_iter=100, eta_ratio=0.1,
+                                   warmup_iter=10, warmup_ratio=1e-4)
+    fns = {
+        mode: jax.jit(build_train_step(model, disc, balancer, sched, sched,
+                                       disc_prob=1.0, sample_rate=24000,
+                                       disc_cond_update=mode))
+        for mode in (True, False)
+    }
+    state0 = init_train_state(model, disc, balancer, jax.random.PRNGKey(0),
+                              example_length=1200)
+    batch = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 1200)) * 0.1
+
+    for allowed in (True, False):
+        out = {}
+        for mode, fn in fns.items():
+            new_state, metrics = fn(state0, batch, jax.random.PRNGKey(2),
+                                    jnp.asarray(allowed))
+            out[mode] = (new_state, metrics)
+        s_cond, m_cond = out[True]
+        s_mask, m_mask = out[False]
+        for a, b in zip(jax.tree.leaves(s_cond), jax.tree.leaves(s_mask)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-6)
+        for k in m_cond:
+            np.testing.assert_allclose(np.asarray(m_cond[k]),
+                                       np.asarray(m_mask[k]),
+                                       atol=1e-6, rtol=1e-6,
+                                       err_msg=f'metric {k} allowed={allowed}')
