@@ -69,10 +69,12 @@ def _conv2d_fpack_raw(x: jnp.ndarray, kernel: jnp.ndarray,
     # reads wk positions
     need = (n_blocks - 1) * phases * sf + wk - pw
     pr = max(0, need - W)
-    xp = jnp.pad(x, ((0, 0), (0, 0), (pw, pr), (0, 0)))
+    # asymmetric (pw, pr) padding folded into the conv itself — an explicit
+    # jnp.pad materializes the padded activation in HBM (and showed up as
+    # pad ops + layout copies in the round-3 profiler trace)
     kp = pack_kernel_fphase(kernel, sf, phases)
     y = jax.lax.conv_general_dilated(
-        xp, kp, window_strides=(st, phases * sf), padding=((ph, ph), (0, 0)),
+        x, kp, window_strides=(st, phases * sf), padding=((ph, ph), (pw, pr)),
         rhs_dilation=(dilation[0], 1),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         preferred_element_type=preferred_element_type)

@@ -134,10 +134,52 @@ def main():
         np.asarray(jnp.concatenate(outs, axis=-1))
         tf_pipe = (time.perf_counter() - t0) / args.chunks
 
+        # --- pure device time: scan-chain the fused body (each chunk's input
+        # is the previous chunk's output, so nothing can be elided), two-point
+        # calibrated to remove the fixed relay fetch
+        from encodec_pytorch_tpu.quantization.core_vq import rvq_decode
+        n_q = model.quantizer.num_quantizers_for_bandwidth(
+            model.frame_rate, model.bandwidth)
+        params = variables['params']
+        qstate = variables['quantizer']
+
+        def body(carry, _):
+            enc_s, dec_s, x = carry
+            emb, enc_s = codec.encoder.apply(params['encoder'], enc_s, x,
+                                             first=False)
+            codes = model._rvq_encode_impl(qstate, emb, n_q)
+            deq = rvq_decode(qstate, codes)
+            y, dec_s = codec.decoder.apply(params['decoder'], dec_s, deq,
+                                           first=False)
+            return (enc_s, dec_s, y * 0.1), None
+
+        def chained(iters):
+            @jax.jit
+            def run(enc_s, dec_s, x):
+                (enc_s, dec_s, x), _ = jax.lax.scan(
+                    body, (enc_s, dec_s, x), None, length=iters)
+                return jnp.sum(x.astype(jnp.float32))
+
+            enc, dec = prime_two_call()
+            x = jnp.swapaxes(chunk, 1, 2)
+            float(run(enc, dec, x))
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                float(run(enc, dec, x))
+                ts.append(time.perf_counter() - t0)
+            return sorted(ts)[2]
+
+        # wide two-point spread: per-chunk device time is ~0.1-0.3 ms, so the
+        # iteration delta must dwarf the relay's ~5 ms run-to-run jitter
+        t_lo, t_hi = chained(16), chained(1024)
+        t_dev = (t_hi - t_lo) / (1024 - 16)
+
         ms = 1e3
         print(f'| {hops} hop ({n}) | {n / 24000 * ms:.1f} ms | '
               f'{t2_block * ms:.3f} ms | {tf_block * ms:.3f} ms | '
-              f'{t2_pipe * ms:.3f} ms | {tf_pipe * ms:.3f} ms |', flush=True)
+              f'{t2_pipe * ms:.3f} ms | {tf_pipe * ms:.3f} ms | '
+              f'{t_dev * ms:.3f} ms dev |', flush=True)
 
 
 if __name__ == '__main__':

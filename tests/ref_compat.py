@@ -34,10 +34,14 @@ def install_audio_stubs():
     if 'soundfile' not in sys.modules:
         sys.modules['soundfile'] = types.ModuleType('soundfile')
 
-    if 'librosa' not in sys.modules:
+    # As with torchaudio below: upgrade a bare librosa stub left by another
+    # tool (it must look like a PACKAGE — `from librosa.filters import mel`
+    # needs both the attribute and the sys.modules['librosa.filters'] entry).
+    if ('librosa' not in sys.modules
+            or not hasattr(sys.modules['librosa'], 'filters')):
         from encodec_pytorch_tpu.ops.stft import mel_filterbank
 
-        librosa = types.ModuleType('librosa')
+        librosa = sys.modules.get('librosa') or types.ModuleType('librosa')
         filters = types.ModuleType('librosa.filters')
 
         def mel(*, sr, n_fft, n_mels, fmin=0.0, fmax=None, **_):
