@@ -202,6 +202,7 @@ class Trainer:
             disc_cond = config.tpu.get('disc_cond_update', None)
         if disc_cond is None:
             disc_cond = self.disc_prob < 0.5
+        self.disc_cond_update = bool(disc_cond)
         step_fn = build_train_step(self.model, self.disc, self.balancer,
                                    gen_sched, disc_sched,
                                    disc_prob=self.disc_prob,

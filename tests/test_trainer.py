@@ -170,3 +170,28 @@ def test_checkpoint_meta_rides_in_blob(dataset_dir, tmp_path):
                         (p, os.path.getsize(p) > 0)))
     wait_pending()
     assert landed == [(path, True)]
+
+
+def test_disc_update_policy_and_fpack_knobs(dataset_dir, tmp_path):
+    """tpu.disc_cond_update auto policy (masked when the disc trains on
+    most steps, lax.cond when train_discriminator < 0.5) + explicit
+    override, and tpu.disc_fpack / disc_fpack_dx propagation to the disc."""
+    from encodec_pytorch_tpu.train.trainer import Trainer
+
+    cfg = _tiny_config(dataset_dir, tmp_path)
+    t = Trainer(cfg)
+    assert t.disc_cond_update is False          # prob 1.0 -> masked
+    assert t.disc.fpack == 4 and t.disc.fpack_dx is True
+
+    cfg = _tiny_config(dataset_dir, tmp_path,
+                       **{'model.train_discriminator': 0.3})
+    assert Trainer(cfg).disc_cond_update is True   # rare update -> cond
+
+    cfg = _tiny_config(dataset_dir, tmp_path,
+                       **{'tpu.disc_cond_update': True})
+    assert Trainer(cfg).disc_cond_update is True   # explicit override
+
+    cfg = _tiny_config(dataset_dir, tmp_path,
+                       **{'tpu.disc_fpack': 0, 'tpu.disc_fpack_dx': False})
+    t = Trainer(cfg)
+    assert t.disc.fpack == 0 and t.disc.fpack_dx is False
