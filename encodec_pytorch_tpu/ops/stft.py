@@ -121,6 +121,40 @@ def frame_signal_grouped(x: jnp.ndarray, n_fft: int,
     return jnp.concatenate(groups, axis=-2)
 
 
+def frame_signal_time_major(x: jnp.ndarray, n_fft: int,
+                            hop_length: int) -> jnp.ndarray:
+    """Exactly ``frame_signal`` (time-major frame order) built from the
+    grouped zero-copy reshapes plus ONE transpose — no gather.
+
+    Requires ``n_fft % hop == 0``. Frame ``k`` (start ``k·hop``) lives in
+    phase group ``p = k % r`` at row ``m = k // r``; stacking the groups
+    ``[r, m_max]`` (zero-padded rows land at ``k ≥ n_frames`` by
+    construction) and swapping to ``[m_max, r]`` flattens to ``k = m·r + p``
+    — the natural order. Forward is reshapes + a transpose; the VJP is the
+    same in reverse (reshape-add), not the sample-level scatter-add the
+    gather framing pays (the TPU-slow part — see PERF_NOTES
+    "Scatter-free mel-loss framing")."""
+    T = x.shape[-1]
+    r = n_fft // hop_length
+    assert r * hop_length == n_fft, (n_fft, hop_length)
+    n_frames = 1 + (T - n_fft) // hop_length
+    m_max = -(-n_frames // r)
+    lead = x.shape[:-1]
+    groups = []
+    for p in range(r):
+        m_p = max(0, -(-(n_frames - p) // r))
+        xs = x[..., p * hop_length:p * hop_length + m_p * n_fft]
+        xs = xs.reshape(*lead, m_p, n_fft)
+        if m_p < m_max:
+            pad = [(0, 0)] * len(lead) + [(0, m_max - m_p), (0, 0)]
+            xs = jnp.pad(xs, pad)
+        groups.append(xs)
+    st = jnp.stack(groups, axis=-3)               # [..., r, m_max, n_fft]
+    st = jnp.swapaxes(st, -3, -2)                 # [..., m_max, r, n_fft]
+    st = st.reshape(*lead, m_max * r, n_fft)
+    return st[..., :n_frames, :]
+
+
 def stft(x: jnp.ndarray, n_fft: int, hop_length: int,
          win_length: Optional[int] = None, window: Optional[jnp.ndarray] = None,
          normalized: bool = False) -> jnp.ndarray:
@@ -133,7 +167,10 @@ def stft(x: jnp.ndarray, n_fft: int, hop_length: int,
     win_length = win_length or n_fft
     if window is None:
         window = jnp.asarray(_centered_window(n_fft, win_length))
-    frames = frame_signal(x, n_fft, hop_length) * window
+    if n_fft % hop_length == 0:
+        frames = frame_signal_time_major(x, n_fft, hop_length) * window
+    else:
+        frames = frame_signal(x, n_fft, hop_length) * window
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)      # [..., n_frames, F]
     if normalized:
         spec = spec / jnp.sqrt(jnp.sum(jnp.square(window)))

@@ -256,3 +256,22 @@ def test_warmup_cosine_schedule_reference_values():
     # jit-traceable
     np.testing.assert_allclose(float(jax.jit(sched)(jnp.int32(500))), expect,
                                rtol=1e-5)
+
+
+def test_frame_signal_time_major_equals_gather():
+    """frame_signal_time_major (reshapes + one transpose, scatter-free VJP)
+    must reproduce frame_signal exactly — values AND order — for every
+    disc/mel (n_fft, hop) pair, including T where phase groups are ragged."""
+    import numpy as np
+    from encodec_pytorch_tpu.ops.stft import (frame_signal,
+                                              frame_signal_time_major)
+    rng = np.random.RandomState(0)
+    for n_fft, hop in [(1024, 256), (2048, 512), (512, 128), (256, 64),
+                       (64, 16), (32, 8)]:
+        for T in [n_fft, n_fft + hop, n_fft + 5 * hop, n_fft + 6 * hop,
+                  n_fft + 7 * hop, 4 * n_fft + 3 * hop]:
+            x = jnp.asarray(rng.randn(2, 3, T).astype(np.float32))
+            a = frame_signal(x, n_fft, hop)
+            b = frame_signal_time_major(x, n_fft, hop)
+            assert a.shape == b.shape, (n_fft, hop, T, a.shape, b.shape)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
