@@ -49,6 +49,15 @@ def get_parser():
                              'encodec_bw, optional converted weights otherwise)')
     parser.add_argument('--lm_checkpoint', type=str,
                         help='local torch checkpoint for the entropy LM')
+    parser.add_argument('--lm_host', action='store_true',
+                        help='Entropy-code with the host (step-by-step) LM '
+                             'path instead of the fully on-device fused '
+                             'codec. Fused is the default: it is the only '
+                             'path that decodes faster than real-time, and '
+                             'streams are self-describing (an `lmv` header '
+                             'key picks the matching decoder), but '
+                             'host-encoded and fused-encoded streams are '
+                             'not interchangeable across implementations.')
     return parser
 
 
@@ -99,7 +108,8 @@ def run_one(args, model, variables, lm):
 
         wav, sr = read_wav(args.input)
         wav = convert_audio(wav, sr, model.sample_rate, model.channels)
-        compressed = C.compress(model, variables, wav, use_lm=args.lm, lm=lm)
+        compressed = C.compress(model, variables, wav, use_lm=args.lm, lm=lm,
+                                lm_fused=args.lm and not args.lm_host)
         if args.output.suffix.lower() == SUFFIX:
             args.output.write_bytes(compressed)
         else:

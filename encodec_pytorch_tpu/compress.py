@@ -37,6 +37,15 @@ class LM:
         self.params = params
         self._step = jax.jit(
             lambda p, idx, state: self.model.apply({'params': p}, idx, state))
+        self._fused_coder = None
+
+    @property
+    def fused_coder(self):
+        """The fully on-device codec (bitstream/fused.py), built lazily."""
+        if self._fused_coder is None:
+            from .bitstream.fused import FusedLmCoder
+            self._fused_coder = FusedLmCoder(self.model, self.params)
+        return self._fused_coder
 
     def step(self, indices: np.ndarray, state):
         """indices [B, K, 1] → (probas [B, card, K, 1], new_state)."""
@@ -117,8 +126,20 @@ def get_lm_model(model: EncodecModel, checkpoint: tp.Optional[str] = None) -> LM
 
 def compress_to_file(model: EncodecModel, variables, wav, fo: tp.IO[bytes],
                      use_lm: bool = False, lm: tp.Optional[LM] = None,
-                     lm_device_scan: bool = True):
-    """Compress a ``[C, T]`` waveform to a file object (compress.py:30-92)."""
+                     lm_device_scan: bool = True, lm_fused: bool = False):
+    """Compress a ``[C, T]`` waveform to a file object (compress.py:30-92).
+
+    ``lm_fused=True`` arithmetic-codes with the fully on-device codec
+    (bitstream/fused.py): the LM forward + CDF quantization + range coder
+    run as ONE jitted program, removing every per-timestep host round-trip
+    on BOTH the compress and (crucially) the decompress side. The wire
+    format is unchanged; an extra ``lmv: fused1`` JSON header key (ignored
+    by the reference reader, reference binary.py:44-52) tells decompress to
+    replay the matching on-device probability model — fused and host
+    streams are not interchangeable because their probabilities come from
+    different XLA programs (see LM.probas_teacher_forced for why that
+    matters at the CDF's 1e-8 quantization grid).
+    """
     wav = np.asarray(wav)
     assert wav.ndim == 2, "Only single waveform can be encoded."
     if use_lm and lm is None:
@@ -135,6 +156,8 @@ def compress_to_file(model: EncodecModel, variables, wav, fo: tp.IO[bytes],
         'lm': use_lm,
         'fr': int(frames[0][0].shape[2]),  # frame length (codes)
     }
+    if use_lm and lm_fused:
+        metadata['lmv'] = 'fused1'
     binary.write_ecdc_header(fo, metadata)
 
     if use_lm and len(frames) > 1:
@@ -149,7 +172,9 @@ def compress_to_file(model: EncodecModel, variables, wav, fo: tp.IO[bytes],
         if scale is not None:
             fo.write(struct.pack('!f', float(scale.reshape(-1)[0])))
         _, K, T = frame.shape
-        if use_lm:
+        if use_lm and lm_fused:
+            fo.write(lm.fused_coder.encode(frame[0]))
+        elif use_lm:
             _compress_frame_lm(lm, frame, fo, device_scan=lm_device_scan)
         else:
             packer = binary.BitPacker(model.bits_per_codebook, fo)
@@ -227,6 +252,10 @@ def decompress_from_file(model: EncodecModel, variables, fo: tp.IO[bytes],
     audio_length = metadata['al']
     num_codebooks = metadata['nc']
     use_lm = metadata['lm']
+    lm_variant = metadata.get('lmv')
+    if use_lm and lm_variant not in (None, 'fused1'):
+        raise ValueError(f"Unknown LM coding variant {lm_variant!r} "
+                         "(stream written by a newer version?)")
     assert isinstance(audio_length, int)
     assert isinstance(num_codebooks, int)
     if use_lm and lm is None:
@@ -254,7 +283,10 @@ def decompress_from_file(model: EncodecModel, variables, fo: tp.IO[bytes],
             scale = jnp.asarray([scale_f], jnp.float32)
         else:
             scale = None
-        if use_lm:
+        if use_lm and lm_variant == 'fused1':
+            frame = lm.fused_coder.decode(fo.read(), num_codebooks,
+                                          frame_length)
+        elif use_lm:
             frame = _decompress_frame_lm(lm, fo, num_codebooks, frame_length)
         else:
             frame = _decompress_frame_packed(model, fo, num_codebooks,
@@ -315,11 +347,12 @@ def _decompress_frame_lm(lm: LM, fo, K: int, T: int) -> np.ndarray:
 
 
 def compress(model: EncodecModel, variables, wav, use_lm: bool = False,
-             lm: tp.Optional[LM] = None, lm_device_scan: bool = True) -> bytes:
+             lm: tp.Optional[LM] = None, lm_device_scan: bool = True,
+             lm_fused: bool = False) -> bytes:
     """[C, T] waveform → compressed bytes (compress.py:165-179)."""
     fo = io.BytesIO()
     compress_to_file(model, variables, wav, fo, use_lm=use_lm, lm=lm,
-                     lm_device_scan=lm_device_scan)
+                     lm_device_scan=lm_device_scan, lm_fused=lm_fused)
     return fo.getvalue()
 
 

@@ -79,6 +79,9 @@ def main(argv=None):
     t_lm, data_lm = timed(
         lambda: C.compress(model, variables, wav, use_lm=True, lm=lm))
     results['compress LM (pipelined)'] = (t_lm, len(data_lm))
+    t_lmf, data_lmf = timed(lambda: C.compress(
+        model, variables, wav, use_lm=True, lm=lm, lm_fused=True))
+    results['compress LM (fused on-device)'] = (t_lmf, len(data_lmf))
     if not args.skip_slow_baseline:
         t_lm_old, data_old = timed(lambda: C.compress(
             model, variables, wav, use_lm=True, lm=lm, lm_device_scan=False),
@@ -91,6 +94,10 @@ def main(argv=None):
     t_dl, out_l = timed(lambda: C.decompress(model, variables, data_lm, lm=lm))
     results['decompress LM'] = (t_dl, None)
     np.testing.assert_allclose(out_p[0], out_l[0], atol=1e-6)
+    t_dlf, out_lf = timed(
+        lambda: C.decompress(model, variables, data_lmf, lm=lm))
+    results['decompress LM (fused on-device)'] = (t_dlf, None)
+    np.testing.assert_array_equal(np.asarray(out_p[0]), np.asarray(out_lf[0]))
 
     dur = args.seconds
     K = model.quantizer.num_quantizers_for_bandwidth(model.frame_rate,

@@ -1,0 +1,260 @@
+"""Fused on-device LM entropy codec (bitstream/fused.py).
+
+Three layers of evidence:
+1. The uint32-limb 64-bit helpers match Python unbounded-int arithmetic.
+2. The device AC core (CDF build + encode + decode) is BYTE-identical to
+   the host ArithmeticCoder/ArithmeticDecoder when fed the same pdfs —
+   both directions (device-encoded bytes decode on host, host-encoded
+   bytes decode on device). This runs on the CPU backend (conftest) where
+   f32 ops match numpy bit-exactly.
+3. The full fused LM codec (LM forward inside the scan) roundtrips codes
+   exactly, and the compress/decompress API picks the fused decoder from
+   the `lmv` header key.
+"""
+
+import io
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from encodec_pytorch_tpu.bitstream import ac as ac_mod
+from encodec_pytorch_tpu.bitstream import fused as F
+from encodec_pytorch_tpu.models.lm import LMModel
+
+
+# ---------------------------------------------------------------------------
+# 1. limb math
+# ---------------------------------------------------------------------------
+
+def _as_int(u):
+    return (int(np.asarray(u[0])) << 32) | int(np.asarray(u[1]))
+
+
+def _mk(v):
+    return F.u64(np.uint32(v >> 32), np.uint32(v & 0xFFFFFFFF))
+
+
+M64 = (1 << 64) - 1
+
+
+def test_u64_add_sub_mul_shift_fuzz():
+    rng = np.random.RandomState(0)
+    for _ in range(200):
+        a = int(rng.randint(0, 1 << 62, dtype=np.int64))
+        b = int(rng.randint(0, 1 << 62, dtype=np.int64))
+        assert _as_int(F.u64_add(_mk(a), _mk(b))) == (a + b) & M64
+        assert _as_int(F.u64_sub(_mk(max(a, b)), _mk(min(a, b)))) == \
+            abs(a - b)
+        assert bool(np.asarray(F.u64_ge(_mk(a), _mk(b)))) == (a >= b)
+        am, bm = a & 0xFFFFFFFF, b & 0xFFFFFFFF
+        assert _as_int(F.u64_mul_32x32(np.uint32(am), np.uint32(bm))) == \
+            am * bm
+        n = int(rng.randint(0, 64))
+        assert _as_int(F.u64_shl(_mk(a), jnp.int32(n))) == (a << n) & M64
+        assert _as_int(F.u64_shr(_mk(a), jnp.int32(n))) == a >> n
+        i = int(rng.randint(0, 64))
+        assert int(np.asarray(F.u64_bit(_mk(a), jnp.int32(i)))) == \
+            (a >> i) & 1
+        assert _as_int(F.u64_mask_low(jnp.int32(n))) == (1 << n) - 1
+        assert int(np.asarray(F.u64_msb(_mk(a)))) == a.bit_length() - 1
+    assert int(np.asarray(F.u64_msb(_mk(0)))) == -1
+    assert _as_int(F.u64_mask_low(jnp.int32(0))) == 0
+    assert _as_int(F.u64_mask_low(jnp.int32(64))) == M64
+
+
+def test_build_cdf_device_matches_host():
+    """On the CPU backend the device CDF build must equal numpy's
+    build_stable_quantized_cdf bit-exactly (same f32 ops)."""
+    rng = np.random.RandomState(1)
+    for card in [17, 64, 1024]:
+        pdf = rng.dirichlet(np.full(card, 0.3)).astype(np.float32)
+        host = ac_mod.build_stable_quantized_cdf(pdf, 24, check=False)
+        dev = np.asarray(F.build_cdf_device(jnp.asarray(pdf)))
+        np.testing.assert_array_equal(dev.astype(np.int64), host)
+
+
+# ---------------------------------------------------------------------------
+# 2. AC core byte-compat vs the host coder (shared pdfs)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope='module')
+def ac_cases():
+    rng = np.random.RandomState(2)
+    cases = []
+    for card, n in [(16, 40), (200, 97), (1024, 64)]:
+        pdfs = rng.dirichlet(np.full(card, 0.25), size=n).astype(np.float32)
+        syms = np.array([rng.choice(card, p=p / p.sum()) for p in pdfs],
+                        np.int32)
+        cases.append((pdfs, syms))
+    return cases
+
+
+def _host_encode(pdfs, syms):
+    fo = io.BytesIO()
+    coder = ac_mod.ArithmeticCoder(fo)
+    for p, s in zip(pdfs, syms):
+        coder.push(int(s), ac_mod.build_stable_quantized_cdf(p, 24,
+                                                             check=False))
+    coder.flush()
+    return fo.getvalue()
+
+
+def _host_decode(data, pdfs):
+    dec = ac_mod.ArithmeticDecoder(io.BytesIO(data))
+    out = []
+    for p in pdfs:
+        out.append(dec.pull(ac_mod.build_stable_quantized_cdf(p, 24,
+                                                              check=False)))
+    return out
+
+
+def test_fused_ac_bytes_equal_host(ac_cases):
+    for pdfs, syms in ac_cases:
+        n, card = pdfs.shape
+        fn = F.make_fused_ac_only(card)
+        cap = F.bits_capacity(n)
+        _, bits, n_bits, _ = fn(jnp.asarray(True), jnp.asarray(pdfs),
+                                jnp.asarray(syms), jnp.zeros((cap,), jnp.int8),
+                                jnp.int32(0))
+        dev_bytes = np.packbits(
+            np.asarray(bits[: int(n_bits)]).astype(np.uint8),
+            bitorder='little').tobytes()
+        host_bytes = _host_encode(pdfs, syms)
+        assert dev_bytes == host_bytes, (card, n)
+
+
+def test_fused_ac_decodes_host_stream_and_vice_versa(ac_cases):
+    for pdfs, syms in ac_cases:
+        n, card = pdfs.shape
+        fn = F.make_fused_ac_only(card)
+        cap = F.bits_capacity(n)
+        # host encode -> device decode
+        host_bytes = _host_encode(pdfs, syms)
+        host_bits = np.unpackbits(np.frombuffer(host_bytes, np.uint8),
+                                  bitorder='little')[:cap]
+        buf = np.zeros((cap,), np.int8)
+        buf[: host_bits.size] = host_bits
+        dec, _, _, overrun = fn(jnp.asarray(False), jnp.asarray(pdfs),
+                                jnp.zeros((n,), jnp.int32), jnp.asarray(buf),
+                                jnp.int32(len(host_bytes) * 8))
+        assert not bool(overrun)
+        np.testing.assert_array_equal(np.asarray(dec), syms)
+        # device encode -> host decode
+        _, bits, n_bits, _ = fn(jnp.asarray(True), jnp.asarray(pdfs),
+                                jnp.asarray(syms), jnp.zeros((cap,), jnp.int8),
+                                jnp.int32(0))
+        dev_bytes = np.packbits(
+            np.asarray(bits[: int(n_bits)]).astype(np.uint8),
+            bitorder='little').tobytes()
+        assert _host_decode(dev_bytes, pdfs) == list(syms)
+
+
+def test_fused_ac_skewed_and_edge_pdfs():
+    """Near-deterministic and near-uniform pdfs, symbols at the edges."""
+    card = 64
+    fn = F.make_fused_ac_only(card)
+    rng = np.random.RandomState(3)
+    pdfs = []
+    syms = []
+    for i in range(60):
+        p = np.full(card, 1e-9, np.float32)
+        p[i % card] = 1.0
+        pdfs.append(p / p.sum())
+        syms.append([0, card - 1, i % card][i % 3])
+    pdfs.append(np.full(card, 1.0 / card, np.float32))
+    syms.append(card // 2)
+    pdfs = np.stack(pdfs).astype(np.float32)
+    syms = np.asarray(syms, np.int32)
+    cap = F.bits_capacity(len(syms))
+    _, bits, n_bits, _ = fn(jnp.asarray(True), jnp.asarray(pdfs),
+                            jnp.asarray(syms), jnp.zeros((cap,), jnp.int8),
+                            jnp.int32(0))
+    dev_bytes = np.packbits(np.asarray(bits[: int(n_bits)]).astype(np.uint8),
+                            bitorder='little').tobytes()
+    assert dev_bytes == _host_encode(pdfs, syms)
+    assert _host_decode(dev_bytes, pdfs) == list(syms)
+    rng.shuffle(pdfs)  # decode with the shuffled pdfs is NOT expected to work
+
+
+# ---------------------------------------------------------------------------
+# 3. full fused LM codec
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope='module')
+def lm_and_codes():
+    lm_def = LMModel(n_q=4, card=64, num_layers=2, dim=32, num_heads=4,
+                     past_context=24)
+    params = lm_def.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 4, 1), jnp.int32))['params']
+    rng = np.random.RandomState(7)
+    codes = rng.randint(0, 64, size=(4, 57)).astype(np.int64)
+    return lm_def, params, codes
+
+
+def test_fused_lm_roundtrip(lm_and_codes):
+    lm_def, params, codes = lm_and_codes
+    coder = F.FusedLmCoder(lm_def, params)
+    data = coder.encode(codes)
+    assert len(data) > 0
+    out = coder.decode(data, *codes.shape)
+    np.testing.assert_array_equal(out, codes)
+
+
+def test_fused_lm_truncated_stream_raises(lm_and_codes):
+    lm_def, params, codes = lm_and_codes
+    coder = F.FusedLmCoder(lm_def, params)
+    data = coder.encode(codes)
+    with pytest.raises(EOFError):
+        coder.decode(data[: max(1, len(data) // 4)], *codes.shape)
+
+
+def test_fused_lm_through_compress_api(lm_and_codes):
+    """compress(lm_fused=True) writes the `lmv` header key and decompress
+    dispatches to the fused decoder; codes roundtrip exactly and the wav
+    matches the packed (no-LM) reconstruction bit-for-bit."""
+    from encodec_pytorch_tpu import compress as C
+    from encodec_pytorch_tpu.models.model import EncodecModel
+
+    model = EncodecModel._get_model(
+        [1.5], 24_000, 1, causal=True, model_norm='weight_norm',
+        audio_normalize=False, segment=None, name='my_encodec',
+        n_filters=4, n_q=4)
+    model.set_target_bandwidth(1.5)
+    variables = model.init(jax.random.PRNGKey(1), example_length=2400)
+    variables['quantizer'] = variables['quantizer']._replace(
+        inited=jnp.ones_like(variables['quantizer'].inited),
+        embed=jax.random.normal(jax.random.PRNGKey(2),
+                                variables['quantizer'].embed.shape))
+
+    lm_def = LMModel(n_q=model.quantizer.n_q, card=model.quantizer.bins,
+                     num_layers=2, dim=32, num_heads=4, past_context=24)
+    params = lm_def.init(jax.random.PRNGKey(3),
+                         jnp.zeros((1, lm_def.n_q, 1), jnp.int32))['params']
+    lm = C.LM(lm_def, params)
+
+    wav = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(4), (1, 2400)) * 0.1, np.float32)
+
+    fused_bytes = C.compress(model, variables, wav, use_lm=True, lm=lm,
+                             lm_fused=True)
+    import json
+    import struct
+    meta_len = struct.unpack('!I', fused_bytes[5:9])[0]
+    meta = json.loads(fused_bytes[9:9 + meta_len])
+    assert meta['lm'] is True and meta.get('lmv') == 'fused1'
+
+    wav_fused, sr = C.decompress(model, variables, fused_bytes, lm=lm)
+    packed_bytes = C.compress(model, variables, wav, use_lm=False)
+    wav_packed, _ = C.decompress(model, variables, packed_bytes)
+    np.testing.assert_array_equal(wav_fused, wav_packed)
+    assert sr == 24_000
+
+    # host-path streams must still decode through the host decoder
+    host_bytes = C.compress(model, variables, wav, use_lm=True, lm=lm,
+                            lm_fused=False)
+    meta_len = struct.unpack('!I', host_bytes[5:9])[0]
+    assert 'lmv' not in json.loads(host_bytes[9:9 + meta_len])
+    wav_host, _ = C.decompress(model, variables, host_bytes, lm=lm)
+    np.testing.assert_array_equal(wav_host, wav_packed)
