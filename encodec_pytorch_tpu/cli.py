@@ -7,6 +7,7 @@
 """
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -58,6 +59,12 @@ def get_parser():
                              'key picks the matching decoder), but '
                              'host-encoded and fused-encoded streams are '
                              'not interchangeable across implementations.')
+    parser.add_argument('--compile_cache_dir', type=str,
+                        default=os.environ.get('ENCODEC_TPU_COMPILE_CACHE',
+                                               ''),
+                        help='Persistent XLA compilation cache directory '
+                             '(or env ENCODEC_TPU_COMPILE_CACHE): repeat '
+                             'invocations skip the cold jit compile.')
     return parser
 
 
@@ -121,6 +128,9 @@ def run_one(args, model, variables, lm):
 def cli_main(args):
     from . import compress as C
     from .models.model import MODELS
+    from .utils import enable_compile_cache
+
+    enable_compile_cache(args.compile_cache_dir)
 
     model_name = 'encodec_48khz' if args.hq else args.model_name
     if model_name in ('my_encodec', 'encodec_bw'):

@@ -28,6 +28,9 @@ def main(argv=None):
     config = load_config(args.config, args.overrides)
     os.makedirs(str(config.checkpoint.save_folder), exist_ok=True)
 
+    from .utils import enable_compile_cache
+    enable_compile_cache(config.tpu.get('compile_cache_dir', ''))
+
     from .train.trainer import Trainer
     Trainer(config).run()
 

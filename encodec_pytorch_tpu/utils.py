@@ -4,6 +4,7 @@ Rebuild of /root/reference/utils.py (the device-side parts in jnp, the
 host-side parts in numpy).
 """
 
+import os
 import random
 from hashlib import sha256
 from pathlib import Path
@@ -102,3 +103,22 @@ def count_parameters(params) -> int:
     """Total leaf element count of a param pytree (utils.py:167-176)."""
     import jax
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+
+def enable_compile_cache(path: Union[str, Path, None]):
+    """Turn on JAX's persistent XLA compilation cache at ``path``.
+
+    The production train step compiles in minutes cold (docs/PERF_NOTES.md);
+    the persistent cache makes every later process start (trainer resume,
+    codec CLI invocation, bench) reuse the compiled executable. No-op when
+    ``path`` is falsy. The reference has no equivalent (torch eager).
+    """
+    if not path:
+        return
+    import jax
+    path = os.path.abspath(str(path))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', path)
+    # cache everything, however quick the compile
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
