@@ -362,6 +362,107 @@ def ac_decode_symbol(st: _AcState, bits_buf: jnp.ndarray, n_bits: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# KV-cached LM step. The flax LMModel stores raw layer INPUTS and reprojects
+# the whole past_context history through the K/V matrices every step
+# (models/transformer.py:84 — fine for batch inference, 3x redundant work at
+# T=1). Here the streaming state holds the PROJECTED keys/values per layer,
+# so a step projects only the new token. Mathematically identical attention;
+# bitwise parity with the flax path is neither expected nor needed — the
+# fused codec only requires encode/decode self-consistency, which the shared
+# program provides whatever the step implementation.
+# ---------------------------------------------------------------------------
+
+
+def _layer_norm(x, p, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p['scale'] + p['bias']
+
+
+def _sin_embedding(position, dim, max_period=10000.0):
+    """create_sin_embedding (models/transformer.py:22-30) for one position."""
+    half = dim // 2
+    adim = jnp.arange(half)
+    phase = position / (max_period ** (adim / (half - 1)))
+    return jnp.concatenate([jnp.cos(phase), jnp.sin(phase)])
+
+
+def kv_init_state(lm_model, params):
+    """(k_hist, v_hist) [L, S, C] initialized to the K/V BIASES: history
+    slots hold projections of zero layer-inputs (0 @ W + b = b), which is
+    exactly what the reference's zero sentinel key contributes
+    (models/transformer.py:142-149); invalid slots are masked anyway."""
+    L, S, C = (lm_model.num_layers, lm_model.past_context, lm_model.dim)
+    k_hist = jnp.zeros((L, S, C), jnp.float32)
+    v_hist = jnp.zeros((L, S, C), jnp.float32)
+    for i in range(L):
+        in_b = params['transformer'][f'layer_{i}']['self_attn']['in_proj_bias']
+        k_hist = k_hist.at[i].set(jnp.broadcast_to(in_b[C:2 * C], (S, C)))
+        v_hist = v_hist.at[i].set(jnp.broadcast_to(in_b[2 * C:], (S, C)))
+    return k_hist, v_hist, jnp.zeros((), jnp.int32)
+
+
+def kv_lm_step(lm_model, params, indices, state):
+    """One LM step with projected-KV streaming state.
+
+    indices [K] int32 (1 + previous codes, 0 = missing) -> (pdfs [K, card]
+    f32, new_state). Matches LMModel.__call__ at T=1 (models/lm.py:34-51)
+    to float tolerance: summed per-codebook embeddings, norm_in, sinusoidal
+    position, 5 post-norm layers with bounded-context attention (the window
+    condition 0 <= delta <= past_context is implied because the ring holds
+    exactly past_context slots), per-codebook heads + softmax."""
+    K = indices.shape[0]
+    C = lm_model.dim
+    H = lm_model.num_heads
+    hd = C // H
+    S = lm_model.past_context
+    k_hist, v_hist, offset = state
+    tr = params['transformer']
+
+    x = sum(params[f'emb_{k}']['embedding'][indices[k]] for k in range(K))
+    x = _layer_norm(x, tr['norm_in'])
+    x = x + _sin_embedding(offset, C)
+
+    n_valid = jnp.minimum(offset + 1, S)
+    hist_mask = jnp.arange(S) >= (S - n_valid)
+    mask = jnp.concatenate([hist_mask, jnp.ones((1,), bool)])    # [S+1]
+
+    new_k = []
+    new_v = []
+    for i in range(lm_model.num_layers):
+        p = tr[f'layer_{i}']
+        in_w = p['self_attn']['in_proj_weight']      # [3C, C] (torch layout)
+        in_b = p['self_attn']['in_proj_bias']
+        q = x @ in_w[:C].T + in_b[:C]
+        k_new = x @ in_w[C:2 * C].T + in_b[C:2 * C]
+        v_new = x @ in_w[2 * C:].T + in_b[2 * C:]
+        keys = jnp.concatenate([k_hist[i], k_new[None]], axis=0)   # [S+1, C]
+        vals = jnp.concatenate([v_hist[i], v_new[None]], axis=0)
+        qh = q.reshape(H, hd)
+        kh = keys.reshape(S + 1, H, hd)
+        vh = vals.reshape(S + 1, H, hd)
+        scores = jnp.einsum('hd,shd->hs', qh, kh) / jnp.sqrt(float(hd))
+        scores = jnp.where(mask[None, :], scores, -jnp.inf)
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum('hs,shd->hd', attn, vh).reshape(C)
+        out = out @ p['self_attn']['out_proj_weight'].T \
+            + p['self_attn']['out_proj_bias']
+        x = _layer_norm(x + out, p['norm1'])
+        h = x @ p['linear1']['kernel'] + p['linear1']['bias']
+        h = jax.nn.gelu(h, approximate=False)
+        h = h @ p['linear2']['kernel'] + p['linear2']['bias']
+        x = _layer_norm(x + h, p['norm2'])
+        new_k.append(keys[1:])
+        new_v.append(vals[1:])
+
+    logits = jnp.stack(
+        [x @ params[f'linear_{k}']['kernel'] + params[f'linear_{k}']['bias']
+         for k in range(K)])                                     # [K, card]
+    pdfs = jax.nn.softmax(logits, axis=-1)
+    return pdfs, (jnp.stack(new_k), jnp.stack(new_v), offset + 1)
+
+
+# ---------------------------------------------------------------------------
 # The fused codec program.
 # ---------------------------------------------------------------------------
 
@@ -374,7 +475,7 @@ def bits_capacity(n_symbols: int) -> int:
     return TOTAL_RANGE_BITS * (n_symbols + 2) + 128
 
 
-def make_fused_lm_codec(lm_model, params):
+def make_fused_lm_codec(lm_model, params, kv_cache: bool = True):
     """Build the jitted fused codec for an LMModel + params.
 
     Returns ``fn(mode_encode, symbols, bits, n_bits_in)`` where
@@ -385,19 +486,34 @@ def make_fused_lm_codec(lm_model, params):
       - n_bits_in: int32, valid bit count of `bits` (decode; EOF detection).
     Returns (symbols_out [K, T] int32, bits_out, n_bits_out int32,
     overrun bool). Shapes are static per (K, T); jit caches per shape.
+
+    ``kv_cache`` selects the projected-KV step (default; ~3x less work per
+    step) vs the flax LMModel.apply step. Both are self-consistent codecs;
+    their streams are NOT interchangeable with each other (different
+    programs -> ulp-level probability differences across the CDF grid).
     """
 
-    # flax module construction is not legal inside a jit trace (and
-    # init_state needs a bound scope) — build the all-zero initial
-    # streaming state directly from the module attributes
-    # (StreamingTransformerEncoder.init_state shapes)
-    hist0 = jnp.zeros((lm_model.num_layers, 1, lm_model.past_context,
-                       lm_model.dim), jnp.float32)
-    offset0 = jnp.zeros((), jnp.int32)
+    if kv_cache:
+        state0 = kv_init_state(lm_model, params)
+
+        def lm_step(input_, state):
+            return kv_lm_step(lm_model, params, input_[0, :, 0], state)
+    else:
+        # flax module construction is not legal inside a jit trace (and
+        # init_state needs a bound scope) — build the all-zero initial
+        # streaming state directly from the module attributes
+        # (StreamingTransformerEncoder.init_state shapes)
+        state0 = (jnp.zeros((lm_model.num_layers, 1, lm_model.past_context,
+                             lm_model.dim), jnp.float32),
+                  jnp.zeros((), jnp.int32))
+
+        def lm_step(input_, state):
+            probas, new_state, _ = lm_model.apply({'params': params},
+                                                  input_, state)
+            return probas[0, :, :, 0].T, new_state
 
     def fn(mode_encode, symbols, bits, n_bits_in):
         K, T = symbols.shape
-        hist, offset = hist0, offset0
 
         def encode_ks(ac, bits_buf, cdfs, syms_t, _n_bits):
             for k in range(K):
@@ -413,20 +529,18 @@ def make_fused_lm_codec(lm_model, params):
             return ac, bits_buf, jnp.stack(out)
 
         def body(carry, syms_t):
-            hist, offset, input_, ac, bits_buf = carry
-            probas, (hist, offset), _ = lm_model.apply(
-                {'params': params}, input_, (hist, offset))
-            pdfs = probas[0, :, :, 0].T                   # [K, card] f32
+            lm_state, input_, ac, bits_buf = carry
+            pdfs, lm_state = lm_step(input_, lm_state)    # [K, card] f32
             cdfs = build_cdf_device(pdfs)                 # [K, card] int32
             ac, bits_buf, syms_out = jax.lax.cond(
                 mode_encode, encode_ks, decode_ks,
                 ac, bits_buf, cdfs, syms_t, n_bits_in)
             input_ = (1 + syms_out)[None, :, None]
-            return (hist, offset, input_, ac, bits_buf), syms_out
+            return (lm_state, input_, ac, bits_buf), syms_out
 
         init_input = jnp.zeros((1, K, 1), jnp.int32)
-        carry0 = (hist, offset, init_input, ac_init_state(), bits)
-        (hist, offset, _, ac, bits_out), syms = jax.lax.scan(
+        carry0 = (state0, init_input, ac_init_state(), bits)
+        (_, _, ac, bits_out), syms = jax.lax.scan(
             body, carry0, jnp.transpose(symbols, (1, 0)))   # scan over T
 
         # encoder: final flush; decoder: bit count it consumed
@@ -446,8 +560,8 @@ def make_fused_lm_codec(lm_model, params):
 class FusedLmCoder:
     """Host-side wrapper: bytes <-> codes through the fused device codec."""
 
-    def __init__(self, lm_model, params):
-        self._fn = make_fused_lm_codec(lm_model, params)
+    def __init__(self, lm_model, params, kv_cache: bool = True):
+        self._fn = make_fused_lm_codec(lm_model, params, kv_cache=kv_cache)
 
     def encode(self, frame: np.ndarray) -> bytes:
         """frame [K, T] int -> arithmetic-coded bytes (binary.BitPacker

@@ -193,13 +193,36 @@ def lm_and_codes():
     return lm_def, params, codes
 
 
-def test_fused_lm_roundtrip(lm_and_codes):
+@pytest.mark.parametrize('kv_cache', [True, False])
+def test_fused_lm_roundtrip(lm_and_codes, kv_cache):
     lm_def, params, codes = lm_and_codes
-    coder = F.FusedLmCoder(lm_def, params)
+    coder = F.FusedLmCoder(lm_def, params, kv_cache=kv_cache)
     data = coder.encode(codes)
     assert len(data) > 0
     out = coder.decode(data, *codes.shape)
     np.testing.assert_array_equal(out, codes)
+
+
+def test_kv_lm_step_matches_flax_apply(lm_and_codes):
+    """The projected-KV step must reproduce LMModel.apply's incremental
+    probabilities to float tolerance across many steps (incl. ring
+    wraparound: T=57 > past_context=24)."""
+    lm_def, params, codes = lm_and_codes
+    K, T = codes.shape
+    state_kv = F.kv_init_state(lm_def, params)
+    state_flax = None
+    input_ = np.zeros((1, K, 1), np.int32)
+    for t in range(T):
+        pdfs_kv, state_kv = F.kv_lm_step(lm_def, params,
+                                         jnp.asarray(input_[0, :, 0]),
+                                         state_kv)
+        probas, state_flax, _ = lm_def.apply({'params': params},
+                                             jnp.asarray(input_), state_flax)
+        np.testing.assert_allclose(np.asarray(pdfs_kv),
+                                   np.asarray(probas[0, :, :, 0].T),
+                                   rtol=2e-4, atol=2e-6,
+                                   err_msg=f'step {t}')
+        input_ = 1 + codes[None, :, t:t + 1].astype(np.int32)
 
 
 def test_fused_lm_truncated_stream_raises(lm_and_codes):
