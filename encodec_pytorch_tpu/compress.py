@@ -160,20 +160,30 @@ def compress_to_file(model: EncodecModel, variables, wav, fo: tp.IO[bytes],
         metadata['lmv'] = 'fused1'
     binary.write_ecdc_header(fo, metadata)
 
-    if use_lm and len(frames) > 1:
+    if use_lm and len(frames) > 1 and not lm_fused:
         # Per-frame AC streams are not length-prefixed and the decoder cannot
         # know how many flush bytes to skip between frames — the reference
         # format has the same limitation (its segmented 48 kHz + LM path
-        # would misalign, compress.py:120-156). Fail loudly instead.
+        # would misalign, compress.py:120-156). The fused variant fixes this
+        # (fused1 streams are our own extension, so multi-frame streams are
+        # length-prefixed per frame); the host path fails loudly.
         raise ValueError("use_lm with segmented models (multiple frames) is "
-                         "not supported by the .ecdc format")
+                         "not supported by the reference .ecdc format; pass "
+                         "lm_fused=True (CLI default) which length-prefixes "
+                         "frames under the 'lmv' extension")
 
     for (frame, scale) in frames:
         if scale is not None:
             fo.write(struct.pack('!f', float(scale.reshape(-1)[0])))
         _, K, T = frame.shape
         if use_lm and lm_fused:
-            fo.write(lm.fused_coder.encode(frame[0]))
+            payload = lm.fused_coder.encode(frame[0])
+            if len(frames) > 1:
+                # multi-frame fused streams are length-prefixed per frame
+                # (single-frame stays bit-identical to the prefix-free
+                # reference container layout)
+                fo.write(struct.pack('!I', len(payload)))
+            fo.write(payload)
         elif use_lm:
             _compress_frame_lm(lm, frame, fo, device_scan=lm_device_scan)
         else:
@@ -284,7 +294,13 @@ def decompress_from_file(model: EncodecModel, variables, fo: tp.IO[bytes],
         else:
             scale = None
         if use_lm and lm_variant == 'fused1':
-            frame = lm.fused_coder.decode(fo.read(), num_codebooks,
+            if len(offsets) > 1:
+                n_payload, = struct.unpack(
+                    '!I', binary._read_exactly(fo, 4))
+                payload = binary._read_exactly(fo, n_payload)
+            else:
+                payload = fo.read()
+            frame = lm.fused_coder.decode(payload, num_codebooks,
                                           frame_length)
         elif use_lm:
             frame = _decompress_frame_lm(lm, fo, num_codebooks, frame_length)
