@@ -593,6 +593,175 @@ class FusedLmCoder:
 
 
 # ---------------------------------------------------------------------------
+# Streaming LM entropy codec: one latent frame (K symbols) per call, with
+# the LM + AC state carried across calls — entropy coding for the
+# low-latency streaming path (streaming.StreamingCodec), which neither the
+# reference nor the one-shot .ecdc format supports.
+#
+# Protocol notes:
+# - ONE program, mode-switched like the one-shot codec, so encoder and
+#   decoder probabilities are bit-identical by construction. It is a
+#   DIFFERENT program from the one-shot codec (different scan shape), so
+#   streaming bytes and .ecdc LM payloads are not interchangeable.
+# - Zero per-chunk bitrate overhead: no per-chunk flush, no length
+#   prefixes. The decoder instead STALLS exactly when the next symbol's
+#   renormalization needs bits that have not arrived (the need is known
+#   BEFORE consuming — `_renorm_count(delta)` — and the rest of a symbol
+#   decode reads nothing), leaving its state untouched; the host retries
+#   the same frame when more bytes arrive. A stalled frame re-runs the LM
+#   forward — same program, same state, same probabilities.
+# ---------------------------------------------------------------------------
+
+
+class _StreamCarry(tp.NamedTuple):
+    lm_state: tp.Any
+    input_: jnp.ndarray          # [1, K, 1] int32 — next LM input
+    ac: _AcState                 # bit_pos rebased to 0 every call
+
+
+def make_fused_lm_stream_step(lm_model, params):
+    """One-frame streaming codec step.
+
+    Returns ``(fn, init_carry)`` with
+    ``fn(mode_encode, carry, syms_in [K] i32, bits [cap] i8, n_bits i32)
+    -> (carry', syms_out [K] i32, stalled bool, bits_out, n_io i32)``
+    where ``n_io`` is bits EMITTED (encode, written from index 0) or bits
+    CONSUMED (decode, read from index 0). On a decoder stall the carry is
+    returned untouched, ``syms_out`` is -1 and ``n_io`` is 0.
+    """
+    state0 = kv_init_state(lm_model, params)
+
+    def lm_step(input_, state):
+        return kv_lm_step(lm_model, params, input_[0, :, 0], state)
+
+    def fn(mode_encode, carry, syms_in, bits, n_bits):
+        K = syms_in.shape[0]
+        ac0 = carry.ac._replace(bit_pos=jnp.int32(0),
+                                overrun=jnp.asarray(False))
+        pdfs, lm_state_new = lm_step(carry.input_, carry.lm_state)
+        cdfs = build_cdf_device(pdfs)
+
+        def enc(ac, bits_buf):
+            for k in range(K):
+                ac, bits_buf = ac_encode_symbol(ac, bits_buf, cdfs[k],
+                                                syms_in[k])
+            return ac, bits_buf, syms_in, jnp.asarray(False)
+
+        def dec(ac, bits_buf):
+            stalled = jnp.asarray(False)
+            out = []
+            for k in range(K):
+                low = (ac.low_hi, ac.low_lo)
+                high = (ac.high_hi, ac.high_lo)
+                need = _renorm_count(low, high)
+                stalled = stalled | (ac.bit_pos + need > n_bits)
+                # past a stall the transitions compute garbage; the whole
+                # frame is discarded below, so only crash-freedom matters
+                # (dynamic_slice clamps, searchsorted never asserts)
+                ac, sym = ac_decode_symbol(ac, bits_buf, jnp.int32(2 ** 30),
+                                           cdfs[k])
+                out.append(sym)
+            return ac, bits_buf, jnp.stack(out), stalled
+
+        ac, bits_out, syms, stalled = jax.lax.cond(mode_encode, enc, dec,
+                                                   ac0, bits)
+
+        def sel(new, old):
+            return jax.tree.map(
+                lambda n, o: jnp.where(stalled, o, n), new, old)
+
+        carry_out = _StreamCarry(
+            lm_state=sel(lm_state_new, carry.lm_state),
+            input_=sel((1 + syms)[None, :, None].astype(jnp.int32),
+                       carry.input_),
+            ac=sel(ac, ac0))
+        syms_out = jnp.where(stalled, jnp.full_like(syms, -1), syms)
+        n_io = jnp.where(stalled, jnp.int32(0), ac.bit_pos)
+        return carry_out, syms_out, stalled, bits_out, n_io
+
+    def init_carry(K: int) -> _StreamCarry:
+        return _StreamCarry(lm_state=state0,
+                            input_=jnp.zeros((1, K, 1), jnp.int32),
+                            ac=ac_init_state())
+
+    return jax.jit(fn), init_carry
+
+
+class StreamingLmEncoder:
+    """Push one frame of codes at a time, get wire bytes out as they
+    byte-align; ``flush()`` emits the final arithmetic-coder state."""
+
+    def __init__(self, lm_model, params, K: int):
+        self._fn, init_carry = make_fused_lm_stream_step(lm_model, params)
+        self._carry = init_carry(K)
+        self._K = K
+        self._cap = bits_capacity(K)
+        self._rem = np.zeros((0,), np.uint8)   # bit remainder (< 8 bits)
+        self._flush_fn = jax.jit(ac_encode_flush)
+
+    def _emit(self, new_bits: np.ndarray) -> bytes:
+        bits = np.concatenate([self._rem, new_bits.astype(np.uint8)])
+        n_full = (bits.size // 8) * 8
+        self._rem = bits[n_full:]
+        return np.packbits(bits[:n_full], bitorder='little').tobytes()
+
+    def push_frame(self, codes_t: np.ndarray) -> bytes:
+        """codes_t [K] -> zero or more wire bytes."""
+        assert codes_t.shape == (self._K,)
+        carry, _, _, bits_out, n = self._fn(
+            jnp.asarray(True), self._carry,
+            jnp.asarray(codes_t, jnp.int32),
+            jnp.zeros((self._cap,), jnp.int8), jnp.int32(0))
+        self._carry = carry
+        return self._emit(np.asarray(bits_out[: int(n)]))
+
+    def flush(self) -> bytes:
+        """Final flush: remaining AC state bits, zero-padded to a byte."""
+        buf = jnp.zeros((128,), jnp.int8)
+        ac = self._carry.ac._replace(bit_pos=jnp.int32(0))
+        n, bits = self._flush_fn(ac, buf)
+        out = self._emit(np.asarray(bits[: int(n)]))
+        if self._rem.size:
+            out += np.packbits(self._rem, bitorder='little').tobytes()
+            self._rem = np.zeros((0,), np.uint8)
+        return out
+
+
+class StreamingLmDecoder:
+    """Feed wire bytes as they arrive; pull frames as they become
+    decodable. ``pull_frame()`` returns None while more bytes are needed."""
+
+    def __init__(self, lm_model, params, K: int):
+        self._fn, init_carry = make_fused_lm_stream_step(lm_model, params)
+        self._carry = init_carry(K)
+        self._K = K
+        self._cap = bits_capacity(K)
+        self._bits = np.zeros((0,), np.uint8)
+
+    def push_bytes(self, data: bytes):
+        if data:
+            self._bits = np.concatenate(
+                [self._bits,
+                 np.unpackbits(np.frombuffer(data, np.uint8),
+                               bitorder='little')])
+
+    def pull_frame(self) -> tp.Optional[np.ndarray]:
+        """-> codes [K] int64, or None if more bytes are needed."""
+        window = self._bits[: self._cap]
+        buf = np.zeros((self._cap,), np.int8)
+        buf[: window.size] = window
+        carry, syms, stalled, _, n = self._fn(
+            jnp.asarray(False), self._carry,
+            jnp.zeros((self._K,), jnp.int32),
+            jnp.asarray(buf), jnp.int32(window.size))
+        if bool(stalled):
+            return None
+        self._carry = carry
+        self._bits = self._bits[int(n):]
+        return np.asarray(syms, np.int64)
+
+
+# ---------------------------------------------------------------------------
 # LM-free variant for exact byte-compat tests vs the host coder: pdfs are a
 # precomputed input instead of an LM forward (same AC + CDF machinery).
 # ---------------------------------------------------------------------------
