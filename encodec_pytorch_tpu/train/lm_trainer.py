@@ -114,8 +114,10 @@ class LMTrainer:
             n_q=self.n_q, card=codec_model.quantizer.bins,
             num_layers=num_layers, dim=dim, num_heads=num_heads,
             past_context=int(3.5 * codec_model.frame_rate))
+        warmup_steps = min(warmup_steps, max(total_steps - 1, 1))
         self.schedule = optax.warmup_cosine_decay_schedule(
-            0.0, lr, warmup_steps, total_steps, end_value=lr * 0.1)
+            0.0, lr, warmup_steps, max(total_steps, warmup_steps + 1),
+            end_value=lr * 0.1)
         self.state = init_lm_state(self.lm, jax.random.PRNGKey(0))
         self._step = jax.jit(build_lm_train_step(self.lm, self.schedule),
                              donate_argnums=(0,))

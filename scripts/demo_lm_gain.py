@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Measured LM entropy-coding gain with a TRAINED LM.
+
+The bench tables use a random-weight LM (released weights cannot be
+fetched in-sandbox), which shows ~0% size reduction — an artifact, not a
+property of the machinery. This script closes that honesty gap end to end:
+
+  1. build a small frozen codec (random weights — the CODES' structure is
+     what matters, and structured audio gives structured codes),
+  2. train the entropy LM (train/lm_trainer.py — a capability the
+     reference lacks) on codes of tone-like clips,
+  3. compress held-out clips packed vs LM (fused on-device codec) and
+     report real kbps + size reduction.
+
+Reference context: compress.py:42-43 claims 20-30% reduction with its
+pretrained LMs on speech.
+
+    python scripts/demo_lm_gain.py [--steps 300] [--dim 64]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def make_clip(rng, sr: int, seconds: float) -> np.ndarray:
+    """Tone mixtures with slow AM — structured, codec-code-predictable."""
+    t = np.arange(int(sr * seconds)) / sr
+    f0 = rng.choice([110., 165., 220., 330., 440.])
+    wav = 0.4 * np.sin(2 * np.pi * f0 * t)
+    wav += 0.2 * np.sin(2 * np.pi * 2 * f0 * t + rng.uniform(0, np.pi))
+    wav *= 0.6 + 0.4 * np.sin(2 * np.pi * rng.uniform(1., 4.) * t)
+    wav += 0.01 * rng.randn(t.size)
+    return wav.astype(np.float32)[None]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--steps', type=int, default=300)
+    p.add_argument('--dim', type=int, default=64)
+    p.add_argument('--num_layers', type=int, default=2)
+    p.add_argument('--batch', type=int, default=8)
+    p.add_argument('--seconds', type=float, default=2.0)
+    p.add_argument('--seed', type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from encodec_pytorch_tpu import compress as C
+    from encodec_pytorch_tpu.models.model import EncodecModel
+    from encodec_pytorch_tpu.train import lm_trainer
+
+    print(f'# devices: {jax.devices()}', flush=True)
+    sr = 24_000
+    model = EncodecModel._get_model(
+        [3.], sr, 1, causal=True, model_norm='weight_norm',
+        audio_normalize=False, segment=None, name='my_encodec',
+        n_filters=8, n_q=4)
+    model.set_target_bandwidth(3.)
+    variables = model.init(jax.random.PRNGKey(0), example_length=sr)
+    variables['quantizer'] = variables['quantizer']._replace(
+        inited=jnp.ones_like(variables['quantizer'].inited),
+        embed=jax.random.normal(jax.random.PRNGKey(1),
+                                variables['quantizer'].embed.shape))
+
+    trainer = lm_trainer.LMTrainer(
+        model, variables, lr=1e-3, warmup_steps=30, total_steps=args.steps,
+        num_layers=args.num_layers, dim=args.dim, num_heads=4)
+
+    rng = np.random.RandomState(args.seed)
+
+    def batches(n):
+        for _ in range(n):
+            yield np.stack([make_clip(rng, sr, args.seconds)
+                            for _ in range(args.batch)])
+
+    t0 = time.time()
+    trainer.train_epoch(batches(args.steps), epoch=0, log_interval=50)
+
+    # held-out evaluation
+    lm = C.LM(trainer.lm, trainer.state.params)
+    eval_rng = np.random.RandomState(args.seed + 1000)
+    packed_total, lm_total, dur_total = 0, 0, 0.0
+    for _ in range(5):
+        wav = make_clip(eval_rng, sr, args.seconds)
+        packed = C.compress(model, variables, wav)
+        coded = C.compress(model, variables, wav, use_lm=True, lm=lm,
+                           lm_fused=True)
+        out_p, _ = C.decompress(model, variables, packed)
+        out_l, _ = C.decompress(model, variables, coded, lm=lm)
+        np.testing.assert_array_equal(out_p, out_l)
+        packed_total += len(packed)
+        lm_total += len(coded)
+        dur_total += args.seconds
+
+    kbps_packed = 8 * packed_total / 1000 / dur_total
+    kbps_lm = 8 * lm_total / 1000 / dur_total
+    gain = 1 - lm_total / packed_total
+    print(f'\ntrained {args.steps} steps in {time.time() - t0:.0f}s '
+          f'(LM dim {args.dim}, {args.num_layers} layers)')
+    print(f'| path | kbps | size vs packed |')
+    print(f'|---|---|---|')
+    print(f'| packed (10-bit) | {kbps_packed:.2f} | — |')
+    print(f'| trained LM (fused codec) | {kbps_lm:.2f} | '
+          f'-{100 * gain:.1f}% |')
+    print(f'\n(decoded wavs asserted bit-identical; reference claims '
+          f'20-30% on speech with its pretrained LMs, compress.py:42-43)')
+
+
+if __name__ == '__main__':
+    main()
