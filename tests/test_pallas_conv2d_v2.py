@@ -1,0 +1,68 @@
+"""Exactness of the pipelined fpack-im2col disc conv kernel (v2).
+
+Runs in interpret mode on CPU (conftest forces the cpu backend); the same
+code path compiles on TPU. Compared against ``lax.conv_general_dilated``
+at float32 — the kernel's matmul reassociates reductions, so tolerance is
+fp-reduction-order (~1e-5 relative).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from encodec_pytorch_tpu.ops.pallas_conv2d_v2 import conv2d_v2
+
+
+def _ref_conv(x, w, stride, dilation, padding):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=stride,
+        padding=((padding[0], padding[0]), (padding[1], padding[1])),
+        rhs_dilation=dilation,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+CASES = [
+    # (T, F, cin, cout, kt, kf, stride, dilation, padding) — disc geometries
+    (37, 129, 32, 32, 3, 9, (1, 2), (1, 1), (1, 4)),   # conv_1 (scale-3-ish)
+    (37, 129, 32, 32, 3, 9, (1, 2), (2, 1), (2, 4)),   # conv_2
+    (23, 67, 32, 32, 3, 9, (1, 2), (4, 1), (4, 4)),    # conv_3, odd F
+    (23, 65, 32, 32, 3, 3, (1, 1), (1, 1), (1, 1)),    # conv_4 (stride 1)
+    (16, 257, 32, 32, 3, 9, (1, 2), (1, 1), (1, 4)),   # production-ish F
+]
+
+
+@pytest.mark.parametrize('case', CASES)
+def test_conv2d_v2_matches_lax(case):
+    T, F, cin, cout, kt, kf, stride, dilation, padding = case
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, T, F, cin).astype(np.float32))
+    w = jnp.asarray(rng.randn(kt, kf, cin, cout).astype(np.float32) * 0.1)
+    ref = _ref_conv(x, w, stride, dilation, padding)
+    got = conv2d_v2(x, w, stride, dilation, padding, interpret=True)
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_conv2d_v2_phases2():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 19, 97, 32).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 9, 32, 32).astype(np.float32) * 0.1)
+    ref = _ref_conv(x, w, (1, 2), (1, 1), (1, 4))
+    got = conv2d_v2(x, w, (1, 2), (1, 1), (1, 4), phases=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_conv2d_v2_bf16_close():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 21, 129, 32).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 9, 32, 32).astype(np.float32) * 0.1)
+    ref = _ref_conv(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                    (1, 2), (1, 1), (1, 4)).astype(np.float32)
+    got = conv2d_v2(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                    (1, 2), (1, 1), (1, 4), interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), ref,
+                               rtol=0.15, atol=0.15)
