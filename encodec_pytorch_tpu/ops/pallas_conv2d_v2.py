@@ -206,6 +206,41 @@ def _conv_v2(xph: jnp.ndarray, wk: jnp.ndarray, kt: int, kf: int, sf: int,
     return y
 
 
+def conv2d_v2_dx(g: jnp.ndarray, kernel: jnp.ndarray,
+                 stride: Tuple[int, int], dilation: Tuple[int, int],
+                 padding: Tuple[int, int], x_shape: Tuple[int, ...],
+                 phases: int = P_DEFAULT, interpret=None) -> jnp.ndarray:
+    """Input gradient of the conv, through the v2 kernel.
+
+    The phase-packed dx formulation (ops/conv2d_pack.py: dx as ONE stride-1
+    conv over the cotangent with the combined ``[kh, ceil(kw/sf), Cout,
+    sf*Cin]`` kernel) is itself a member of the conv class this kernel
+    accelerates — so the v2 dx is that exact math with the fpack conv
+    swapped for ``conv2d_v2``. Same eligibility: T-stride 1, no F dilation,
+    ``(kh-1)*dt >= ph``.
+    """
+    from .conv2d_pack import _dx_combined_kernel
+
+    st, sf = stride
+    dt, df = dilation
+    assert st == 1 and df == 1
+    ph, pw = padding
+    kh, kw, cin, cout = kernel.shape
+    B, H, W, _ = x_shape
+    w_out = (W + 2 * pw - kw) // sf + 1
+    w0 = -(-kw // sf)
+    pt = (kh - 1) * dt - ph
+    assert pt >= 0, 'dx formulation needs (kh-1)*dt >= ph'
+    kc = _dx_combined_kernel(kernel, sf)
+    M = (W + 2 * pw - 1) // sf + 1
+    gp = jnp.pad(g, ((0, 0), (0, 0), (w0 - 1, max(0, M - w_out)), (0, 0)))
+    d = conv2d_v2(gp, kc, (1, 1), (dt, 1), (pt, 0), phases=phases,
+                  interpret=interpret)
+    d = d[:, :, :M]
+    d = d.reshape(B, H, M, sf, cin).reshape(B, H, M * sf, cin)
+    return d[:, :, pw:pw + W]
+
+
 def conv2d_v2(x: jnp.ndarray, w: jnp.ndarray, stride: Tuple[int, int],
               dilation: Tuple[int, int], padding: Tuple[int, int],
               phases: int = P_DEFAULT, interpret=None) -> jnp.ndarray:

@@ -66,3 +66,25 @@ def test_conv2d_v2_bf16_close():
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32), ref,
                                rtol=0.15, atol=0.15)
+
+
+@pytest.mark.parametrize('dil,sf', [(1, 2), (2, 2), (4, 2), (1, 1)])
+def test_conv2d_v2_dx_matches_autodiff(dil, sf):
+    from encodec_pytorch_tpu.ops.pallas_conv2d_v2 import conv2d_v2_dx
+
+    kf = 9 if sf == 2 else 3
+    pad = (dil, (kf - 1) // 2)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 25, 97, 32).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, kf, 32, 32).astype(np.float32) * 0.1)
+
+    def f(x_):
+        return _ref_conv(x_, w, (1, sf), (dil, 1), pad)
+
+    y, vjp = jax.vjp(f, x)
+    g = jnp.asarray(rng.randn(*y.shape).astype(np.float32))
+    (ref_dx,) = vjp(g)
+    got_dx = conv2d_v2_dx(g, w, (1, sf), (dil, 1), pad, x.shape,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got_dx), np.asarray(ref_dx),
+                               rtol=3e-5, atol=3e-5)
