@@ -55,6 +55,9 @@ class DiscriminatorSTFT(nn.Module):
     fpack_dx: bool = True   # phase-packed custom input-gradient for the
                             # fpack'd convs (conv2d_fpack_dx); False =
                             # XLA autodiff backward
+    pallas_v2: bool = False  # pipelined fpack-im2col Pallas kernel for the
+                             # eligible 32-channel convs (forward + dx);
+                             # see ops/pallas_conv2d_v2.py
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -78,7 +81,7 @@ class DiscriminatorSTFT(nn.Module):
         z = NormConv2d(in_chs, self.filters, kernel_size=self.kernel_size,
                        padding=get_2d_padding(self.kernel_size),
                        norm='none', dtype=self.dtype, fpack=self.fpack,
-                       fpack_dx=self.fpack_dx,
+                       fpack_dx=self.fpack_dx, pallas_v2=self.pallas_v2,
                        name='conv_0')(z)
         z = act(z)
         fmap.append(z)
@@ -90,7 +93,7 @@ class DiscriminatorSTFT(nn.Module):
                            stride=self.stride, dilation=(dilation, 1),
                            padding=get_2d_padding(self.kernel_size, (dilation, 1)),
                            norm=self.norm, dtype=self.dtype, fpack=self.fpack,
-                           fpack_dx=self.fpack_dx,
+                           fpack_dx=self.fpack_dx, pallas_v2=self.pallas_v2,
                            name=f'conv_{i + 1}')(z)
             z = act(z)
             fmap.append(z)
@@ -101,7 +104,7 @@ class DiscriminatorSTFT(nn.Module):
         z = NormConv2d(in_chs, out_chs, kernel_size=ks,
                        padding=get_2d_padding(ks), norm=self.norm,
                        dtype=self.dtype, fpack=self.fpack,
-                       fpack_dx=self.fpack_dx,
+                       fpack_dx=self.fpack_dx, pallas_v2=self.pallas_v2,
                        name=f'conv_{len(self.dilations) + 1}')(z)
         z = act(z)
         fmap.append(z)
@@ -130,6 +133,7 @@ class MultiScaleSTFTDiscriminator(nn.Module):
     dtype: Any = jnp.float32
     fpack: int = 4
     fpack_dx: bool = True
+    pallas_v2: bool = False
 
     @property
     def num_discriminators(self) -> int:
@@ -146,7 +150,8 @@ class MultiScaleSTFTDiscriminator(nn.Module):
                 win_length=self.win_lengths[i], hop_length=self.hop_lengths[i],
                 norm=self.norm, stft_method=self.stft_method,
                 dtype=self.dtype, fpack=self.fpack,
-                fpack_dx=self.fpack_dx, name=f'disc_{i}')(x)
+                fpack_dx=self.fpack_dx, pallas_v2=self.pallas_v2,
+                name=f'disc_{i}')(x)
             logits.append(logit)
             fmaps.append(fmap)
         return logits, fmaps

@@ -199,6 +199,10 @@ class NormConv2d(nn.Module):
     fpack_dx: bool = True   # custom phase-packed input-gradient for the
                             # fpack'd conv (conv2d_fpack_dx) — same math
                             # re-associated; False falls back to autodiff
+    pallas_v2: bool = False  # route eligible 32-channel convs through the
+                             # pipelined fpack-im2col Pallas kernel
+                             # (ops/pallas_conv2d_v2.py); forward + dx on
+                             # the MXU-dense kernel, dW via XLA
 
     @nn.compact
     def __call__(self, x):
@@ -226,7 +230,16 @@ class NormConv2d(nn.Module):
             raise NotImplementedError(f"norm '{self.norm}' unsupported")
 
         ph, pw = self.padding
-        if self.fpack > 1 and self.dilation[1] == 1:
+        v2_ok = (self.pallas_v2 and self.fpack > 1 and self.stride[0] == 1
+                 and self.dilation[1] == 1 and self.in_channels >= 32
+                 and self.out_channels >= 32
+                 and (kh - 1) * self.dilation[0] >= ph)
+        if v2_ok:
+            from .pallas_conv2d_v2 import conv2d_v2_op
+            y = conv2d_v2_op(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                self.stride, self.dilation, self.padding, self.fpack)
+        elif self.fpack > 1 and self.dilation[1] == 1:
             from .conv2d_pack import conv2d_fpack
             y = conv2d_fpack(
                 x.astype(self.dtype), kernel.astype(self.dtype),

@@ -206,6 +206,36 @@ def _conv_v2(xph: jnp.ndarray, wk: jnp.ndarray, kt: int, kf: int, sf: int,
     return y
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def conv2d_v2_op(x, kernel, stride, dilation, padding, phases):
+    """Trainable v2 conv: Pallas forward, Pallas phase-packed dx, XLA dW
+    (autodiff of the fpack formulation — the contraction over B*H*W is
+    already MXU-shaped there). Same math as the plain conv, re-associated;
+    gradient parity in tests/test_pallas_conv2d_v2.py."""
+    return conv2d_v2(x, kernel, stride, dilation, padding, phases=phases)
+
+
+def _v2_op_fwd(x, kernel, stride, dilation, padding, phases):
+    y = conv2d_v2(x, kernel, stride, dilation, padding, phases=phases)
+    return y, (x, kernel)
+
+
+def _v2_op_bwd(stride, dilation, padding, phases, res, g):
+    from .conv2d_pack import _conv2d_fpack_raw
+
+    x, kernel = res
+    _, kvjp = jax.vjp(
+        lambda kk: _conv2d_fpack_raw(x, kk, stride, dilation, padding,
+                                     phases, None), kernel)
+    (dk,) = kvjp(g)
+    dx = conv2d_v2_dx(g, kernel, stride, dilation, padding, x.shape,
+                      phases=phases)
+    return dx.astype(x.dtype), dk.astype(kernel.dtype)
+
+
+conv2d_v2_op.defvjp(_v2_op_fwd, _v2_op_bwd)
+
+
 def conv2d_v2_dx(g: jnp.ndarray, kernel: jnp.ndarray,
                  stride: Tuple[int, int], dilation: Tuple[int, int],
                  padding: Tuple[int, int], x_shape: Tuple[int, ...],

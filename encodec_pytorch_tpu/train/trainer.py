@@ -92,9 +92,11 @@ def build_disc_from_config(config: Config) -> MultiScaleSTFTDiscriminator:
     """Discriminator factory mirroring train_multi_gpu.py:208-215."""
     fpack = 4
     fpack_dx = True
+    pallas_v2 = False
     if 'tpu' in config:
         fpack = int(config.tpu.get('disc_fpack', 4))
         fpack_dx = bool(config.tpu.get('disc_fpack_dx', True))
+        pallas_v2 = bool(config.tpu.get('disc_pallas_v2', False))
     return MultiScaleSTFTDiscriminator(
         in_channels=int(config.model.channels),
         out_channels=int(config.model.channels),
@@ -104,7 +106,7 @@ def build_disc_from_config(config: Config) -> MultiScaleSTFTDiscriminator:
         n_ffts=tuple(config.model.disc_n_ffts),
         stft_method=_stft_method(config),
         dtype=_compute_dtype(config),
-        fpack=fpack, fpack_dx=fpack_dx)
+        fpack=fpack, fpack_dx=fpack_dx, pallas_v2=pallas_v2)
 
 
 def build_dataset(config: Config, mode: str):

@@ -88,3 +88,40 @@ def test_conv2d_v2_dx_matches_autodiff(dil, sf):
                           interpret=True)
     np.testing.assert_allclose(np.asarray(got_dx), np.asarray(ref_dx),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_disc_pallas_v2_matches_fpack():
+    """Full sub-discriminator forward + backward with the v2 kernel routed
+    through NormConv2d (pallas_v2=True) vs the shipped fpack path — logits,
+    fmaps, input grads and param grads must agree to fp reduction order."""
+    from encodec_pytorch_tpu.models.msstftd import MultiScaleSTFTDiscriminator
+
+    def build(v2):
+        return MultiScaleSTFTDiscriminator(
+            filters=32, n_ffts=(128,), hop_lengths=(32,), win_lengths=(128,),
+            fpack=4, fpack_dx=True, pallas_v2=v2)
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 1, 1600).astype(np.float32) * 0.1)
+    params = build(False).init(jax.random.PRNGKey(0), x)['params']
+
+    def loss(disc, params, x):
+        logits, fmaps = disc.apply({'params': params}, x)
+        return (sum(jnp.sum(l) for l in logits)
+                + 0.1 * sum(jnp.sum(jnp.abs(f)) for fm in fmaps for f in fm))
+
+    ref_v, (ref_gp, ref_gx) = jax.value_and_grad(
+        lambda p, x_: loss(build(False), p, x_), argnums=(0, 1))(params, x)
+    got_v, (got_gp, got_gx) = jax.value_and_grad(
+        lambda p, x_: loss(build(True), p, x_), argnums=(0, 1))(params, x)
+
+    np.testing.assert_allclose(float(got_v), float(ref_v), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_gx), np.asarray(ref_gx),
+                               rtol=1e-4, atol=1e-5)
+    flat_r = jax.tree_util.tree_leaves_with_path(ref_gp)
+    flat_g = dict(jax.tree_util.tree_leaves_with_path(got_gp))
+    for path, leaf in flat_r:
+        np.testing.assert_allclose(
+            np.asarray(flat_g[path]), np.asarray(leaf),
+            rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))
