@@ -195,3 +195,8 @@ def test_disc_update_policy_and_fpack_knobs(dataset_dir, tmp_path):
                        **{'tpu.disc_fpack': 0, 'tpu.disc_fpack_dx': False})
     t = Trainer(cfg)
     assert t.disc.fpack == 0 and t.disc.fpack_dx is False
+    assert t.disc.pallas_v2 is False                # default off
+
+    cfg = _tiny_config(dataset_dir, tmp_path,
+                       **{'tpu.disc_pallas_v2': True})
+    assert Trainer(cfg).disc.pallas_v2 is True
