@@ -347,6 +347,20 @@ def test_export_cli_lm_mode(tmp_path):
         np.testing.assert_array_equal(obj[k].numpy(), want[k], err_msg=k)
 
 
+def test_layer_norm_export_refused():
+    """layer_norm models are refused with a clear error: the reference's own
+    ConvLayerNorm is broken (returns None, reference norm.py:28), so an
+    exported layer_norm checkpoint could never run there."""
+    import pytest
+
+    model = EncodecModel._get_model(
+        [1.5], 24_000, 1, causal=True, model_norm='layer_norm',
+        audio_normalize=False, name='test', n_q=1, n_filters=4)
+    variables = model.init(jax.random.PRNGKey(0), example_length=2400)
+    with pytest.raises(ValueError, match='cannot export'):
+        export.model_state_dict(variables)
+
+
 def test_save_torch_disc_wrapper(tmp_path):
     """save_torch_disc writes the {'epoch','model_state_dict'} layout the
     reference trainer uses for disc checkpoints (train_multi_gpu.py:350)."""
