@@ -14,6 +14,7 @@ broadcasts: every replica derives the same decision from the same per-step
 PRNG key inside the single program).
 """
 
+import functools
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
@@ -71,7 +72,8 @@ def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
                      disc_prob: float, sample_rate: int,
                      remat: bool = False, balancer_vjp_chunk: int = 1,
                      stft_method: str = 'fft', shared_disc_vjp: bool = True,
-                     disc_cond_update: bool = True):
+                     disc_cond_update: bool = True,
+                     skip_nonfinite: bool = False):
     """Returns ``step_fn(state, batch, rng, disc_allowed) -> (state, metrics)``
     (not yet jitted — the trainer jits it with shardings/donation).
 
@@ -98,6 +100,11 @@ def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
     update's VJP closures capture (~100 ms of relayout copies per step in
     the round-3 profiler trace), so masking is faster whenever
     ``disc_prob`` ≥ ~0.5 despite the wasted FLOPs on skipped steps.
+    ``skip_nonfinite``: guard each step — if any loss or any updated
+    param/EMA leaf is NaN/Inf, drop the whole update (state reverts except
+    ``step``) and report ``metrics['skipped_nonfinite']``. Device-side, no
+    host sync; off by default so the compiled program matches the
+    reference-parity trajectory tests exactly.
     """
     opt = make_optimizers()
 
@@ -268,6 +275,28 @@ def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
             params_g=new_params_g, params_d=new_params_d, quantizer=new_cb,
             opt_g=new_opt_g, opt_d=new_opt_d, balancer=new_balancer,
             step=state.step + 1)
+        if skip_nonfinite:
+            # failure detection (SURVEY §5): a NaN/Inf anywhere in the
+            # losses or the updated params/EMA buffers (bad batch, overflow)
+            # reverts every field except `step` — schedules keep advancing,
+            # the poisoned update is dropped. Entirely device-side (one
+            # fused reduction + scalar selects); no host sync, replicated
+            # under GSPMD so all processes take the same branch.
+            checks = [jnp.isfinite(loss_g), jnp.isfinite(loss_w),
+                      jnp.isfinite(ld)]
+            checks += [jnp.all(jnp.isfinite(l)) for l in jax.tree.leaves(
+                (new_params_g, new_params_d, new_cb))]
+            ok = functools.reduce(jnp.logical_and, checks)
+            sel = lambda n, o: jnp.where(ok, n, o)
+            new_state = TrainState(
+                params_g=jax.tree.map(sel, new_params_g, state.params_g),
+                params_d=jax.tree.map(sel, new_params_d, state.params_d),
+                quantizer=jax.tree.map(sel, new_cb, state.quantizer),
+                opt_g=jax.tree.map(sel, new_opt_g, state.opt_g),
+                opt_d=jax.tree.map(sel, new_opt_d, state.opt_d),
+                balancer=jax.tree.map(sel, new_balancer, state.balancer),
+                step=state.step + 1)
+            metrics['skipped_nonfinite'] = 1.0 - ok.astype(jnp.float32)
         return new_state, metrics
 
     return step_fn

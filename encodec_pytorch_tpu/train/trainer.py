@@ -205,6 +205,10 @@ class Trainer:
         if disc_cond is None:
             disc_cond = self.disc_prob < 0.5
         self.disc_cond_update = bool(disc_cond)
+        skip_nonfinite = False
+        if 'tpu' in config:
+            skip_nonfinite = bool(config.tpu.get('skip_nonfinite_steps',
+                                                 False))
         step_fn = build_train_step(self.model, self.disc, self.balancer,
                                    gen_sched, disc_sched,
                                    disc_prob=self.disc_prob,
@@ -213,7 +217,8 @@ class Trainer:
                                    balancer_vjp_chunk=vjp_chunk,
                                    stft_method=_stft_method(config),
                                    shared_disc_vjp=shared_vjp,
-                                   disc_cond_update=bool(disc_cond))
+                                   disc_cond_update=bool(disc_cond),
+                                   skip_nonfinite=skip_nonfinite)
         repl = replicated_sharding(self.mesh)
         donate_state = True
         if 'tpu' in config:
@@ -333,8 +338,16 @@ class Trainer:
                     epoch, idx + 1, data_length, avg.get('loss_g', 0),
                     avg.get('loss_w', 0), float(metrics['lr_g']),
                     float(metrics['lr_d']), avg.get('loss_disc', 0), dt)
+                if avg.get('skipped_nonfinite', 0) > 0:
+                    logger.warning(
+                        'dropped %d non-finite step(s) in the last %d steps '
+                        '(tpu.skip_nonfinite_steps guard)',
+                        int(round(avg['skipped_nonfinite'] * denom)), denom)
                 if self.writer:
                     gstep = (epoch - 1) * data_length + idx
+                    if 'skipped_nonfinite' in avg:
+                        self.writer.add_scalar('Train/skipped_nonfinite',
+                                               avg['skipped_nonfinite'], gstep)
                     self.writer.add_scalar('Train/Loss_G', avg.get('loss_g', 0), gstep)
                     for k in ('l_t', 'l_f', 'l_g', 'l_feat'):
                         if k in avg:

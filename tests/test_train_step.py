@@ -160,3 +160,56 @@ def test_masked_disc_update_matches_cond():
                                        np.asarray(m_mask[k]),
                                        atol=1e-6, rtol=1e-6,
                                        err_msg=f'metric {k} allowed={allowed}')
+
+
+def test_skip_nonfinite_guard():
+    """skip_nonfinite=True drops a poisoned update (NaN batch) wholesale —
+    state reverts except `step` — and reports it; a clean batch updates
+    normally with skipped_nonfinite == 0. Guard off: NaNs propagate."""
+    from encodec_pytorch_tpu.train.schedule import warmup_cosine_schedule
+
+    model = EncodecModel._get_model(
+        [1.5, 3.], 24000, 1, causal=True, model_norm='weight_norm',
+        audio_normalize=False, segment=None, n_q=2, n_filters=4)
+    disc = MultiScaleSTFTDiscriminator(
+        filters=4, n_ffts=(256, 128), hop_lengths=(64, 32),
+        win_lengths=(256, 128))
+    balancer = Balancer({'l_t': 0.1, 'l_f': 1, 'l_g': 3, 'l_feat': 3})
+    sched = warmup_cosine_schedule(3e-4, max_iter=100, eta_ratio=0.1,
+                                   warmup_iter=10, warmup_ratio=1e-4)
+    state = init_train_state(model, disc, balancer, jax.random.PRNGKey(0),
+                             example_length=1200)
+    guarded = jax.jit(build_train_step(
+        model, disc, balancer, sched, sched, disc_prob=1.0,
+        sample_rate=24000, skip_nonfinite=True))
+
+    bad = jnp.full((2, 1, 1200), jnp.nan)
+    new_state, metrics = guarded(state, bad, jax.random.PRNGKey(2),
+                                 jnp.asarray(True))
+    assert float(metrics['skipped_nonfinite']) == 1.0
+    assert int(new_state.step) == 1  # schedules keep advancing
+    for a, b in zip(jax.tree.leaves(state.params_g),
+                    jax.tree.leaves(new_state.params_g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.params_d),
+                    jax.tree.leaves(new_state.params_d)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.quantizer),
+                    jax.tree.leaves(new_state.quantizer)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    good = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 1200)) * 0.1
+    new_state2, metrics2 = guarded(new_state, good, jax.random.PRNGKey(2),
+                                   jnp.asarray(True))
+    assert float(metrics2['skipped_nonfinite']) == 0.0
+    assert np.isfinite(float(metrics2['loss_g']))
+    assert not np.allclose(np.asarray(jax.tree.leaves(new_state.params_g)[0]),
+                           np.asarray(jax.tree.leaves(new_state2.params_g)[0]))
+
+    # guard off: the poisoned update lands
+    plain = jax.jit(build_train_step(
+        model, disc, balancer, sched, sched, disc_prob=1.0,
+        sample_rate=24000))
+    poisoned, _ = plain(state, bad, jax.random.PRNGKey(2), jnp.asarray(True))
+    assert not np.isfinite(
+        np.asarray(jax.tree.leaves(poisoned.params_g)[0])).all()
