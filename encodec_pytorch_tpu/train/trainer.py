@@ -122,13 +122,19 @@ class Trainer:
 
     def __init__(self, config: Config):
         self.config = config
+        initialize_distributed()
+        # multi-host: only process 0 writes shared artifacts (checkpoints,
+        # TB runs, wav demos, wandb) — the reference's `dist.get_rank()==0`
+        # gates (train_multi_gpu.py:326,348,156); non-main processes get
+        # their own log file so a shared save_folder isn't interleaved
+        self.is_main = jax.process_index() == 0
         tag = f"bs{config.datasets.batch_size}_lr{config.optimization.lr}"
+        if not self.is_main:
+            tag = f"{tag}_p{jax.process_index()}"
         setup_logging(config.checkpoint.save_folder, tag)
 
         if config.common.seed is not None:
             set_seed(int(config.common.seed))
-
-        initialize_distributed()
         if bool(config.distributed.data_parallel):
             n_dev = int(config.distributed.world_size) or 0
         else:
@@ -257,19 +263,22 @@ class Trainer:
                     count_parameters(self.state.params_d))
 
         self.writer = None
-        try:
-            from tensorboardX import SummaryWriter
-            self.writer = SummaryWriter(
-                log_dir=os.path.join(str(config.checkpoint.save_folder), 'runs'))
-            logger.info('Saving tensorboard logs to %s',
-                        Path(self.writer.logdir).resolve())
-        except Exception as exc:
-            logger.warning('tensorboard unavailable: %s', exc)
+        if self.is_main:
+            try:
+                from tensorboardX import SummaryWriter
+                self.writer = SummaryWriter(
+                    log_dir=os.path.join(str(config.checkpoint.save_folder),
+                                         'runs'))
+                logger.info('Saving tensorboard logs to %s',
+                            Path(self.writer.logdir).resolve())
+            except Exception as exc:
+                logger.warning('tensorboard unavailable: %s', exc)
 
         # optional wandb (the single-GPU reference trainer's logging surface,
         # train_single_gpu.py:227-240; package gated — not in the TPU image)
         self.wandb = None
-        if 'wandb' in config and bool(config.wandb.get('enabled', False)):
+        if (self.is_main and 'wandb' in config
+                and bool(config.wandb.get('enabled', False))):
             try:
                 import wandb
                 wandb.init(project=str(config.wandb.get('project', 'encodec-tpu')),
@@ -329,7 +338,12 @@ class Trainer:
                    jax.tree.map(jnp.add, acc, metrics))
             if idx % log_interval == 0 or idx == data_length - 1:
                 denom = acc_count
+                # fetch on every process (replicated arrays — purely local
+                # reads) so all hosts pace their dispatch queues identically;
+                # only process 0 emits (reference train_multi_gpu.py:131)
                 host_acc = jax.device_get(acc)
+                if not self.is_main:
+                    continue
                 avg = {k: float(v) / denom for k, v in host_acc.items()}
                 dt = (time.time() - t0) / denom
                 logger.info(
@@ -374,6 +388,11 @@ class Trainer:
             n += 1
         if n == 0:
             return
+        # every process evaluates its own test-set shard; only process 0
+        # reports (its shard's average — the reference's rank-0 gate keeps
+        # even less, the last batch only, train_multi_gpu.py:156-160)
+        if not self.is_main:
+            return
         avg = {k: v / n for k, v in losses.items()}
         logger.info('| TEST | epoch: %d | loss_g: %.4f | loss_disc: %.4f',
                     epoch, sum(v for k, v in avg.items() if k != 'loss_disc'),
@@ -404,6 +423,8 @@ class Trainer:
             logger.warning('reconstruction demo failed: %s', exc)
 
     def save(self, epoch: int):
+        if not self.is_main:
+            return  # state is replicated; process 0 owns the checkpoint
         cfg = self.config
         path = (f"{cfg.checkpoint.save_location}epoch{epoch}_"
                 f"lr{cfg.optimization.lr}.ckpt")
@@ -438,8 +459,12 @@ class Trainer:
         current_epoch = [start_epoch - 1]
 
         def _on_term(signum, frame):
-            logger.warning('received signal %s — writing preemption '
-                           'checkpoint', signum)
+            if self.is_main:
+                logger.warning('received signal %s — writing preemption '
+                               'checkpoint', signum)
+            else:
+                logger.warning('received signal %s — non-main process, '
+                               'process 0 owns the checkpoint', signum)
             try:
                 self.save(current_epoch[0])
                 wait_pending()  # the write must land before we die

@@ -172,6 +172,28 @@ def test_checkpoint_meta_rides_in_blob(dataset_dir, tmp_path):
     assert landed == [(path, True)]
 
 
+def test_multihost_nonmain_process_gating(dataset_dir, tmp_path, monkeypatch):
+    """Non-main processes (jax.process_index() != 0) must not own shared
+    artifacts: no TB writer, no checkpoint writes, and a per-process log
+    file so a shared save_folder isn't interleaved — the reference's
+    rank-0 gates (train_multi_gpu.py:326,348,156)."""
+    import jax
+
+    from encodec_pytorch_tpu.train.trainer import Trainer
+    monkeypatch.setattr(jax, 'process_index', lambda: 1)
+    # keep the fixture self-consistent: shard_id=1 requires num_shards=2,
+    # or the loaders would silently index a wrong [1::1] shard
+    monkeypatch.setattr(jax, 'process_count', lambda: 2)
+    cfg = _tiny_config(dataset_dir, tmp_path)
+    t = Trainer(cfg)
+    assert t.is_main is False
+    assert t.writer is None
+    assert t.trainloader.shard_id == 1 and t.trainloader.num_shards == 2
+    assert glob.glob(f'{tmp_path}/ckpt/train_encodec_*_p1.log')
+    t.save(epoch=1)
+    assert glob.glob(f'{tmp_path}/ckpt/*.ckpt') == []
+
+
 def test_disc_update_policy_and_fpack_knobs(dataset_dir, tmp_path):
     """tpu.disc_cond_update auto policy (masked when the disc trains on
     most steps, lax.cond when train_discriminator < 0.5) + explicit
