@@ -19,17 +19,49 @@ is fetched to force completion; per-iteration time =
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
 ITERS = 10
+
+
+def _wait_for_backend(max_wait_s: float = 900.0) -> None:
+    """Bounded wait for the TPU to answer before importing jax here.
+
+    The axon backend blocks indefinitely at first use when the tunnel is
+    down, so probe it in a SUBPROCESS with a timeout and retry for up to
+    ``max_wait_s``. If the pool env isn't set (plain CPU run) or the TPU
+    never answers, just proceed — the main measurement behaves exactly as
+    before (the driver's own timeout is the final backstop).
+    """
+    if not os.environ.get('PALLAS_AXON_POOL_IPS'):
+        return
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, '-c',
+                 "import jax; assert jax.default_backend() == 'tpu'"],
+                timeout=240, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print('bench: TPU did not answer within '
+                  f'{max_wait_s:.0f}s — proceeding anyway', file=sys.stderr)
+            return
+        time.sleep(30)
 
 
 def _measure_dispatch_overhead() -> float:
     """One dispatch+sync of a trivial jitted op — the fixed host↔device cost
     that chained iterations amortize. Median of 5."""
+    import jax
+    import jax.numpy as jnp
     f = jax.jit(lambda x: jnp.sum(x) * 2)
     x = jnp.ones((8, 128))
     float(f(x))  # compile
@@ -42,6 +74,10 @@ def _measure_dispatch_overhead() -> float:
 
 
 def main():
+    _wait_for_backend()
+    import jax
+    import jax.numpy as jnp
+
     from encodec_pytorch_tpu.models.model import EncodecModel
 
     model = EncodecModel._get_model(
