@@ -73,7 +73,8 @@ def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
                      remat: bool = False, balancer_vjp_chunk: int = 1,
                      stft_method: str = 'fft', shared_disc_vjp: bool = True,
                      disc_cond_update: bool = True,
-                     skip_nonfinite: bool = False):
+                     skip_nonfinite: bool = False,
+                     grad_accum_steps: int = 1):
     """Returns ``step_fn(state, batch, rng, disc_allowed) -> (state, metrics)``
     (not yet jitted — the trainer jits it with shardings/donation).
 
@@ -105,8 +106,31 @@ def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
     ``step``) and report ``metrics['skipped_nonfinite']``. Device-side, no
     host sync; off by default so the compiled program matches the
     reference-parity trajectory tests exactly.
+    ``grad_accum_steps``: N > 1 splits the batch into N interleaved
+    microbatches (``batch[a::N]`` — device-local under contiguous data
+    sharding, no resharding traffic), runs the forward/backward per
+    microbatch inside a ``lax.scan`` holding only ONE microbatch's
+    residuals live at a time, averages the *balanced* generator gradients
+    and the discriminator gradients, and applies one optimizer update.
+    This trades wall-clock for HBM — large effective batches at 48 kHz
+    stereo scale that would otherwise OOM a 16 GB chip. Semantics: the
+    quantizer EMA and balancer-norm EMA advance per microbatch (count-
+    weighted, so N microbatches carry the same averager weight as the
+    full batch); the disc coin flip and the random bandwidth are drawn
+    once per STEP. The disc gradient is exactly the full-batch gradient
+    (``disc_loss`` is a batch mean). Requires the shared-VJP path; the
+    disc update is always compute+mask (no ``lax.cond``).
     """
     opt = make_optimizers()
+    if grad_accum_steps > 1:
+        assert shared_disc_vjp and balancer_vjp_chunk == 1, (
+            'grad_accum_steps > 1 requires shared_disc_vjp=True and '
+            'balancer_vjp_chunk=1 (the shipped default strategy)')
+        return _build_accum_step(
+            model, disc, balancer, gen_schedule, disc_schedule, opt,
+            disc_prob=disc_prob, sample_rate=sample_rate, remat=remat,
+            stft_method=stft_method, skip_nonfinite=skip_nonfinite,
+            accum=int(grad_accum_steps))
 
     def step_fn(state: TrainState, batch: jnp.ndarray, rng: jax.Array,
                 disc_allowed: jnp.ndarray) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -295,6 +319,159 @@ def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
                 opt_g=jax.tree.map(sel, new_opt_g, state.opt_g),
                 opt_d=jax.tree.map(sel, new_opt_d, state.opt_d),
                 balancer=jax.tree.map(sel, new_balancer, state.balancer),
+                step=state.step + 1)
+            metrics['skipped_nonfinite'] = 1.0 - ok.astype(jnp.float32)
+        return new_state, metrics
+
+    return step_fn
+
+
+def _build_accum_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
+                      balancer: Balancer, gen_schedule, disc_schedule, opt,
+                      disc_prob: float, sample_rate: int, remat: bool,
+                      stft_method: str, skip_nonfinite: bool, accum: int):
+    """Gradient-accumulation variant of the train step (see
+    ``build_train_step`` docstring, ``grad_accum_steps``). One scan
+    iteration = the shared-VJP forward/backward of ``build_train_step`` on
+    a ``B/accum`` microbatch; the scan carry accumulates generator and
+    discriminator gradient sums plus the quantizer/balancer EMA states."""
+
+    def micro_grads(params_g, params_d, cb, bal, mb, rng_bw):
+        """One microbatch's balanced generator grads + disc grads.
+        Mirrors the shared-VJP blocks of the plain step exactly."""
+        def gen_fwd(pg):
+            variables = {'params': pg, 'quantizer': cb}
+            output, loss_w, new_cb = model.forward_train(variables, mb,
+                                                         rng_bw, remat=remat)
+            return (output, loss_w), new_cb
+
+        (output, loss_w), gen_vjp, new_cb = jax.vjp(gen_fwd, params_g,
+                                                    has_aux=True)
+        logits_real, fmap_real = disc.apply({'params': params_d}, mb)
+
+        (logits_fake, fmap_fake), disc_fake_vjp = jax.vjp(
+            lambda out: disc.apply({'params': params_d}, out), output)
+        wav_vals, wav_vjp = jax.vjp(
+            lambda out: wav_losses(mb, out, sample_rate, stft_method), output)
+        gan_vals, gan_vjp = jax.vjp(
+            lambda lf, ff: gan_losses(fmap_real, lf, ff),
+            logits_fake, fmap_fake)
+        loss_vals = {**wav_vals, **gan_vals}
+        grads_per_loss = {}
+        for name in wav_vals:
+            cot = {k: jnp.float32(1.0 if k == name else 0.0)
+                   for k in wav_vals}
+            grads_per_loss[name], = wav_vjp(cot)
+        for name in gan_vals:
+            cot = {k: jnp.float32(1.0 if k == name else 0.0)
+                   for k in gan_vals}
+            cot_lf, cot_ff = gan_vjp(cot)
+            grads_per_loss[name], = disc_fake_vjp((cot_lf, cot_ff))
+
+        out_grad, new_bal, bal_metrics = balancer(grads_per_loss, bal)
+        grads_g, = gen_vjp((out_grad, jnp.float32(1.0)))
+
+        # disc parameter grads (hinge loss is a batch mean, so the average
+        # over microbatches IS the full-batch gradient)
+        output_sg = jax.lax.stop_gradient(output)
+        lr_v, disc_real_pd_vjp = jax.vjp(
+            lambda pd: disc.apply({'params': pd}, mb)[0], params_d)
+        lf_v, disc_fake_pd_vjp = jax.vjp(
+            lambda pd: disc.apply({'params': pd}, output_sg)[0], params_d)
+        ld, ld_vjp = jax.vjp(disc_loss, lr_v, lf_v)
+        cot_r, cot_f = ld_vjp(jnp.float32(1.0))
+        g_real, = disc_real_pd_vjp(cot_r)
+        g_fake, = disc_fake_pd_vjp(cot_f)
+        grads_d = jax.tree.map(jnp.add, g_real, g_fake)
+
+        mets = {**loss_vals, 'loss_w': loss_w, 'loss_disc': ld,
+                **bal_metrics}
+        return new_cb, new_bal, grads_g, grads_d, mets
+
+    def step_fn(state: TrainState, batch: jnp.ndarray, rng: jax.Array,
+                disc_allowed: jnp.ndarray
+                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        rng_bw, rng_coin = jax.random.split(jax.random.fold_in(rng, state.step))
+        B = batch.shape[0]
+        assert B % accum == 0, (
+            f'batch size {B} must divide grad_accum_steps={accum}')
+        # interleaved microbatches: micro[a] = batch[a::accum]. Under
+        # contiguous data sharding each device keeps (B/n)/accum of its own
+        # rows per microbatch — balanced, no resharding collective.
+        micro = jnp.moveaxis(
+            batch.reshape(B // accum, accum, *batch.shape[1:]), 1, 0)
+
+        # first microbatch unrolled (gives the scan carry its structure),
+        # remaining accum-1 under lax.scan: one microbatch's residuals live
+        # at a time
+        cb0, bal0, g0, d0, m0 = micro_grads(
+            state.params_g, state.params_d, state.quantizer, state.balancer,
+            micro[0], rng_bw)
+
+        def body(carry, mb):
+            cb, bal, acc_g, acc_d, acc_m = carry
+            new_cb, new_bal, g_g, g_d, mets = micro_grads(
+                state.params_g, state.params_d, cb, bal, mb, rng_bw)
+            return (new_cb, new_bal,
+                    jax.tree.map(jnp.add, acc_g, g_g),
+                    jax.tree.map(jnp.add, acc_d, g_d),
+                    jax.tree.map(jnp.add, acc_m, mets)), None
+
+        (new_cb, new_balancer, acc_g, acc_d, acc_m), _ = jax.lax.scan(
+            body, (cb0, bal0, g0, d0, m0), micro[1:])
+
+        inv = jnp.float32(1.0 / accum)
+        grads_g = jax.tree.map(lambda g: g * inv, acc_g)
+        grads_d = jax.tree.map(lambda g: g * inv, acc_d)
+        avg_m = jax.tree.map(lambda v: v * inv, acc_m)
+
+        lr_g = gen_schedule(state.step)
+        updates, new_opt_g = opt.update(grads_g, state.opt_g, state.params_g)
+        updates = jax.tree.map(lambda u: -lr_g * u, updates)
+        new_params_g = optax.apply_updates(state.params_g, updates)
+
+        # disc update: one coin flip per STEP, masked apply (no lax.cond —
+        # see build_train_step's disc_cond_update note)
+        coin = jax.random.uniform(rng_coin) < disc_prob
+        train_disc = jnp.logical_and(jnp.asarray(disc_allowed, bool), coin)
+        lr_d = disc_schedule(state.step)
+        upd, cand_opt_d = opt.update(grads_d, state.opt_d, state.params_d)
+        upd = jax.tree.map(lambda u: -lr_d * u, upd)
+        cand_params_d = optax.apply_updates(state.params_d, upd)
+        sel = lambda a, b: jnp.where(train_disc, a, b)
+        new_params_d = jax.tree.map(sel, cand_params_d, state.params_d)
+        new_opt_d = jax.tree.map(sel, cand_opt_d, state.opt_d)
+        ld = jnp.where(train_disc, avg_m['loss_disc'], jnp.float32(0.0))
+
+        loss_names = [k for k in avg_m
+                      if k in balancer.weights]
+        loss_g = sum(balancer.weights[k] * avg_m[k] for k in loss_names)
+        metrics = {
+            **{k: v for k, v in avg_m.items() if k != 'loss_disc'},
+            'loss_g': loss_g,
+            'loss_disc': ld,
+            'disc_updated': train_disc.astype(jnp.float32),
+            'lr_g': lr_g,
+            'lr_d': lr_d,
+        }
+        new_state = TrainState(
+            params_g=new_params_g, params_d=new_params_d, quantizer=new_cb,
+            opt_g=new_opt_g, opt_d=new_opt_d, balancer=new_balancer,
+            step=state.step + 1)
+        if skip_nonfinite:
+            checks = [jnp.isfinite(loss_g), jnp.isfinite(avg_m['loss_w']),
+                      jnp.isfinite(ld)]
+            checks += [jnp.all(jnp.isfinite(l)) for l in jax.tree.leaves(
+                (new_params_g, new_params_d, new_cb))]
+            ok = functools.reduce(jnp.logical_and, checks)
+            sel_ok = lambda n, o: jnp.where(ok, n, o)
+            new_state = TrainState(
+                params_g=jax.tree.map(sel_ok, new_params_g, state.params_g),
+                params_d=jax.tree.map(sel_ok, new_params_d, state.params_d),
+                quantizer=jax.tree.map(sel_ok, new_cb, state.quantizer),
+                opt_g=jax.tree.map(sel_ok, new_opt_g, state.opt_g),
+                opt_d=jax.tree.map(sel_ok, new_opt_d, state.opt_d),
+                balancer=jax.tree.map(sel_ok, new_balancer, state.balancer),
                 step=state.step + 1)
             metrics['skipped_nonfinite'] = 1.0 - ok.astype(jnp.float32)
         return new_state, metrics

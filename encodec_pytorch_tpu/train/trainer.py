@@ -210,11 +210,27 @@ class Trainer:
             disc_cond = config.tpu.get('disc_cond_update', None)
         if disc_cond is None:
             disc_cond = self.disc_prob < 0.5
-        self.disc_cond_update = bool(disc_cond)
         skip_nonfinite = False
+        grad_accum = 1
         if 'tpu' in config:
             skip_nonfinite = bool(config.tpu.get('skip_nonfinite_steps',
                                                  False))
+            grad_accum = int(config.tpu.get('grad_accum_steps', 1))
+        if grad_accum > 1:
+            # the accumulation step always computes+masks the disc update
+            # (no cond boundary) and requires the shared-VJP strategy
+            if disc_cond:
+                logger.info('grad_accum_steps=%d: disc update uses masked '
+                            'apply (disc_cond_update ignored)', grad_accum)
+            disc_cond = False
+            assert bs % grad_accum == 0 and (
+                (bs // grad_accum) % self.n_devices == 0
+                or self.n_devices == 1), (
+                f'batch_size {bs} must divide tpu.grad_accum_steps='
+                f'{grad_accum} with each microbatch dividing over '
+                f'{self.n_devices} devices')
+        self.disc_cond_update = bool(disc_cond)
+        self.grad_accum_steps = grad_accum
         step_fn = build_train_step(self.model, self.disc, self.balancer,
                                    gen_sched, disc_sched,
                                    disc_prob=self.disc_prob,
@@ -224,7 +240,8 @@ class Trainer:
                                    stft_method=_stft_method(config),
                                    shared_disc_vjp=shared_vjp,
                                    disc_cond_update=bool(disc_cond),
-                                   skip_nonfinite=skip_nonfinite)
+                                   skip_nonfinite=skip_nonfinite,
+                                   grad_accum_steps=grad_accum)
         repl = replicated_sharding(self.mesh)
         donate_state = True
         if 'tpu' in config:

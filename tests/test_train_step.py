@@ -213,3 +213,138 @@ def test_skip_nonfinite_guard():
     poisoned, _ = plain(state, bad, jax.random.PRNGKey(2), jnp.asarray(True))
     assert not np.isfinite(
         np.asarray(jax.tree.leaves(poisoned.params_g)[0])).all()
+
+
+def _frozen_quantizer_setup(length=1200):
+    """Model + state whose quantizer EMA is a bit-exact fixed point:
+    decay=1.0, uniform cluster_size=16 (power of 2, above the expiry
+    threshold) and embed_avg = embed * 16 make ``_stage_train_forward``
+    return the state unchanged — so every microbatch of an accumulated
+    step quantizes with the SAME codebook the full-batch step uses."""
+    import dataclasses
+
+    model = EncodecModel._get_model(
+        [1.5, 3.], 24000, 1, causal=True, model_norm='weight_norm',
+        audio_normalize=False, segment=None, n_q=2, n_filters=4)
+    model.quantizer = dataclasses.replace(model.quantizer, decay=1.0)
+    disc = MultiScaleSTFTDiscriminator(
+        filters=4, n_ffts=(256, 128), hop_lengths=(64, 32),
+        win_lengths=(256, 128))
+    balancer = Balancer({'l_t': 0.1, 'l_f': 1, 'l_g': 3, 'l_feat': 3})
+    sched = warmup_cosine_schedule(3e-4, max_iter=100, eta_ratio=0.1,
+                                   warmup_iter=10, warmup_ratio=1e-4)
+    state = init_train_state(model, disc, balancer, jax.random.PRNGKey(0),
+                             example_length=length)
+    q = state.quantizer
+    embed = jax.random.normal(jax.random.PRNGKey(7), q.embed.shape)
+    state = state._replace(quantizer=q._replace(
+        inited=jnp.ones_like(q.inited),
+        cluster_size=jnp.full_like(q.cluster_size, 16.0),
+        embed=embed,
+        embed_avg=embed * 16.0))
+    return model, disc, balancer, sched, state
+
+
+def test_grad_accum_equals_full_batch_on_duplicated_microbatches():
+    """grad_accum_steps=2 on a batch whose two interleaved microbatches are
+    IDENTICAL must produce the same update as the plain full-batch step:
+    per-loss grads equal the full-batch grads sample-for-sample, the
+    balancer's count-weighted EMA yields the same avg norms, and the disc
+    grad is a batch mean — so new params (G and D) and all loss metrics
+    must match to fp tolerance. The quantizer is frozen at a bit-exact EMA
+    fixed point so both paths quantize identically."""
+    model, disc, balancer, sched, state = _frozen_quantizer_setup()
+    mb = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 1200)) * 0.1
+    # interleaved duplication: batch[0::2] == batch[1::2] == mb
+    batch = jnp.repeat(mb, 2, axis=0)
+    rng = jax.random.PRNGKey(2)
+    allowed = jnp.asarray(True)
+
+    plain = jax.jit(build_train_step(model, disc, balancer, sched, sched,
+                                     disc_prob=1.0, sample_rate=24000))
+    accum = jax.jit(build_train_step(model, disc, balancer, sched, sched,
+                                     disc_prob=1.0, sample_rate=24000,
+                                     grad_accum_steps=2))
+    s1, m1 = plain(state, batch, rng, allowed)
+    s2, m2 = accum(state, batch, rng, allowed)
+
+    assert int(s2.step) == 1 and float(m2['disc_updated']) == 1.0
+    for k in ('loss_g', 'loss_w', 'loss_disc', 'l_t', 'l_f', 'l_g',
+              'l_feat', 'lr_g', 'lr_d'):
+        np.testing.assert_allclose(np.asarray(m2[k]), np.asarray(m1[k]),
+                                   rtol=2e-4, atol=1e-5, err_msg=k)
+    for a, b in zip(jax.tree.leaves(s1.params_g),
+                    jax.tree.leaves(s2.params_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params_d),
+                    jax.tree.leaves(s2.params_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+    # frozen-quantizer fixed point held bit-exactly in both paths
+    for a, b in zip(jax.tree.leaves(state.quantizer),
+                    jax.tree.leaves(s2.quantizer)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grad_accum_step_trains_and_gates():
+    """With a LIVE quantizer EMA (decay<1) the accumulated step still runs,
+    updates the generator, honors the disc gate, and reports finite,
+    averaged metrics; accum=4 over batch 8 exercises a >2-long scan."""
+    model, disc, step_fn, state = _tiny_setup()
+    balancer = Balancer({'l_t': 0.1, 'l_f': 1, 'l_g': 3, 'l_feat': 3})
+    sched = warmup_cosine_schedule(3e-4, max_iter=100, eta_ratio=0.1,
+                                   warmup_iter=10, warmup_ratio=1e-4)
+    accum = jax.jit(build_train_step(model, disc, balancer, sched, sched,
+                                     disc_prob=1.0, sample_rate=24000,
+                                     grad_accum_steps=4))
+    batch = jax.random.normal(jax.random.PRNGKey(3), (8, 1, 1200)) * 0.1
+    new_state, metrics = accum(state, batch, jax.random.PRNGKey(4),
+                               jnp.asarray(True))
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics['loss_g']))
+    assert float(metrics['disc_updated']) == 1.0
+    assert not np.allclose(
+        np.asarray(jax.tree.leaves(state.params_g)[0]),
+        np.asarray(jax.tree.leaves(new_state.params_g)[0]))
+    # quantizer EMA advanced (live decay)
+    assert not np.allclose(
+        np.asarray(state.quantizer.cluster_size),
+        np.asarray(new_state.quantizer.cluster_size))
+
+    # disc gate blocks the masked apply
+    blocked, mb = accum(state, batch, jax.random.PRNGKey(4),
+                        jnp.asarray(False))
+    assert float(mb['disc_updated']) == 0.0
+    for a, b in zip(jax.tree.leaves(state.params_d),
+                    jax.tree.leaves(blocked.params_d)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grad_accum_data_parallel_8_devices():
+    """accum=2 jitted over the 8-device mesh: each 8-row microbatch shards
+    evenly; losses match the single-device accumulated run."""
+    model, disc, balancer, sched, state = _frozen_quantizer_setup()
+    step_fn = build_train_step(model, disc, balancer, sched, sched,
+                               disc_prob=1.0, sample_rate=24000,
+                               grad_accum_steps=2)
+    mesh = create_mesh()
+    repl = replicated_sharding(mesh)
+    state_sh = jax.device_put(state, repl)
+    batch_np = np.random.RandomState(0).randn(16, 1, 1200).astype(
+        np.float32) * 0.1
+    batch = shard_batch(mesh, batch_np)
+    jitted = jax.jit(step_fn,
+                     in_shardings=(repl, batch_sharding(mesh), repl, repl),
+                     out_shardings=(repl, repl))
+    new_state, metrics = jitted(
+        state_sh, batch, jax.device_put(jax.random.PRNGKey(2), repl),
+        jax.device_put(jnp.asarray(True), repl))
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics['loss_g']))
+
+    state_1d = jax.device_put(state, jax.devices()[0])
+    _, m1 = jax.jit(step_fn)(state_1d, jnp.asarray(batch_np),
+                             jax.random.PRNGKey(2), jnp.asarray(True))
+    np.testing.assert_allclose(float(metrics['loss_g']),
+                               float(m1['loss_g']), rtol=1e-4)

@@ -222,3 +222,24 @@ def test_disc_update_policy_and_fpack_knobs(dataset_dir, tmp_path):
     cfg = _tiny_config(dataset_dir, tmp_path,
                        **{'tpu.disc_pallas_v2': True})
     assert Trainer(cfg).disc.pallas_v2 is True
+
+
+def test_grad_accum_knob(dataset_dir, tmp_path):
+    """tpu.grad_accum_steps reaches build_train_step, forces the masked
+    disc update, and rejects batch sizes that don't divide."""
+    import pytest
+
+    from encodec_pytorch_tpu.train.trainer import Trainer
+
+    cfg = _tiny_config(dataset_dir, tmp_path)
+    t = Trainer(cfg)
+    assert t.grad_accum_steps == 1
+
+    cfg = _tiny_config(dataset_dir, tmp_path, **{'tpu.grad_accum_steps': 2})
+    t = Trainer(cfg)
+    assert t.grad_accum_steps == 2
+    assert t.disc_cond_update is False   # accumulation always masks
+
+    cfg = _tiny_config(dataset_dir, tmp_path, **{'tpu.grad_accum_steps': 3})
+    with pytest.raises(AssertionError, match='grad_accum_steps'):
+        Trainer(cfg)  # batch 2 doesn't divide into 3 microbatches
