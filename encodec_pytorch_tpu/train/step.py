@@ -401,12 +401,14 @@ def _build_accum_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
         micro = jnp.moveaxis(
             batch.reshape(B // accum, accum, *batch.shape[1:]), 1, 0)
 
-        # first microbatch unrolled (gives the scan carry its structure),
-        # remaining accum-1 under lax.scan: one microbatch's residuals live
-        # at a time
-        cb0, bal0, g0, d0, m0 = micro_grads(
-            state.params_g, state.params_d, state.quantizer, state.balancer,
-            micro[0], rng_bw)
+        # zero accumulators shaped via eval_shape (no unrolled first
+        # microbatch — the scan body is the only copy of the graph); the
+        # scan holds one microbatch's residuals live at a time
+        _, _, g_shape, d_shape, m_shape = jax.eval_shape(
+            micro_grads, state.params_g, state.params_d, state.quantizer,
+            state.balancer, micro[0], rng_bw)
+        zeros = lambda s: jax.tree.map(
+            lambda x: jnp.zeros(x.shape, x.dtype), s)
 
         def body(carry, mb):
             cb, bal, acc_g, acc_d, acc_m = carry
@@ -418,7 +420,8 @@ def _build_accum_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
                     jax.tree.map(jnp.add, acc_m, mets)), None
 
         (new_cb, new_balancer, acc_g, acc_d, acc_m), _ = jax.lax.scan(
-            body, (cb0, bal0, g0, d0, m0), micro[1:])
+            body, (state.quantizer, state.balancer, zeros(g_shape),
+                   zeros(d_shape), zeros(m_shape)), micro)
 
         inv = jnp.float32(1.0 / accum)
         grads_g = jax.tree.map(lambda g: g * inv, acc_g)

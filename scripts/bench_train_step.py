@@ -47,6 +47,9 @@ def main():
     p.add_argument('--no_fpack_dx', action='store_true',
                    help='disable the custom phase-packed disc input-gradient '
                         '(falls back to XLA autodiff of the packed conv)')
+    p.add_argument('--accum', type=int, default=1,
+                   help='tpu.grad_accum_steps: >1 scans microbatches and '
+                        'applies one update (forces --disc_mask semantics)')
     p.add_argument('--profile_dir', default='')
     args = p.parse_args()
 
@@ -76,7 +79,8 @@ def main():
                                remat=args.remat,
                                balancer_vjp_chunk=args.chunk,
                                shared_disc_vjp=not args.no_shared_vjp,
-                               disc_cond_update=not args.disc_mask)
+                               disc_cond_update=not args.disc_mask,
+                               grad_accum_steps=args.accum)
 
     mesh = create_mesh(0)
     repl = replicated_sharding(mesh)
@@ -116,7 +120,8 @@ def main():
     audio_s = args.batch * args.cut / 24_000
     print(f'config: batch={args.batch} cut={args.cut} chunk={args.chunk} '
           f'remat={args.remat} dtype={args.dtype} fpack={args.fpack} '
-          f'fpack_dx={not args.no_fpack_dx} disc_mask={args.disc_mask}')
+          f'fpack_dx={not args.no_fpack_dx} disc_mask={args.disc_mask} '
+          f'accum={args.accum}')
     print(f'step time: {dt * 1e3:.1f} ms  '
           f'({audio_s / dt:.1f} audio-seconds/s per chip)')
     print(f'loss_g={float(metrics["loss_g"]):.4f} '
