@@ -48,15 +48,23 @@ def _import_reference_model():
     return ref_model
 
 
-def make_selftest_checkpoint(path: str, seed: int = 0):
+def make_selftest_checkpoint(path: str, seed: int = 0,
+                             model_name: str = 'encodec_24khz'):
     """Seeded random-weight released-style (flat state_dict) checkpoint of
-    the 24 kHz flavor, with initialized RVQ buffers."""
+    the requested released flavor, with initialized RVQ buffers."""
     import torch
     ref_model = _import_reference_model()
     torch.manual_seed(seed)
-    m = ref_model.EncodecModel._get_model(
-        [1.5, 3., 6., 12., 24.], 24_000, 1, causal=True,
-        model_norm='weight_norm', audio_normalize=False, name='encodec_24khz')
+    if model_name == 'encodec_48khz':
+        m = ref_model.EncodecModel._get_model(
+            [3., 6., 12., 24.], 48_000, 2, causal=False,
+            model_norm='time_group_norm', audio_normalize=True, segment=1.,
+            name='encodec_48khz')
+    else:
+        m = ref_model.EncodecModel._get_model(
+            [1.5, 3., 6., 12., 24.], 24_000, 1, causal=True,
+            model_norm='weight_norm', audio_normalize=False,
+            name='encodec_24khz')
     for layer in m.quantizer.vq.layers:
         cb = layer._codebook
         cb.embed.normal_()
@@ -81,6 +89,12 @@ def build_torch_model(model_name: str, checkpoint: str):
             [1.5, 3., 6., 12., 24.], 24_000, 1, causal=True,
             model_norm='weight_norm', audio_normalize=False,
             name='encodec_24khz', n_q=n_q)
+    elif model_name == 'encodec_48khz':
+        # reference model.py:311-329 (segment=1 s, normalized stereo)
+        m = ref_model.EncodecModel._get_model(
+            [3., 6., 12., 24.], 48_000, 2, causal=False,
+            model_norm='time_group_norm', audio_normalize=True, segment=1.,
+            name='encodec_48khz', n_q=n_q)
     elif model_name == 'my_encodec':
         m = ref_model.EncodecModel._get_model(
             [1.5, 3., 6., 12., 24.], 24_000, 1, causal=False,
@@ -100,30 +114,39 @@ def build_jax_model(model_name: str, checkpoint: str):
     return MODELS[model_name](checkpoint=checkpoint)
 
 
-def synthetic_clips(n: int, seconds: float, sr: int, seed: int = 0):
-    """Deterministic tonal/noise mixtures standing in for held-out speech."""
+def synthetic_clips(n: int, seconds: float, sr: int, seed: int = 0,
+                    channels: int = 1):
+    """Deterministic tonal/noise mixtures standing in for held-out speech.
+    ``channels=2`` adds a decorrelated (phase-shifted, re-noised) right
+    channel so the stereo path is exercised with a non-trivial image."""
     rng = np.random.RandomState(seed)
     t = np.arange(int(seconds * sr)) / sr
     clips = []
     for i in range(n):
         f0 = 120 + 90 * i
-        sig = (0.4 * np.sin(2 * np.pi * f0 * t) *
-               (0.6 + 0.4 * np.sin(2 * np.pi * 3.0 * t)) +
-               0.2 * np.sin(2 * np.pi * (2.3 * f0) * t + rng.rand()) +
-               0.03 * rng.randn(len(t)))
-        clips.append((f'synthetic_{i}', sig.astype(np.float32)[None]))
+        chans = []
+        for c in range(channels):
+            sig = (0.4 * np.sin(2 * np.pi * f0 * t + 0.7 * c) *
+                   (0.6 + 0.4 * np.sin(2 * np.pi * 3.0 * t)) +
+                   0.2 * np.sin(2 * np.pi * (2.3 * f0) * t + rng.rand()) +
+                   0.03 * rng.randn(len(t)))
+            chans.append(sig.astype(np.float32))
+        clips.append((f'synthetic_{i}', np.stack(chans)))
     return clips
 
 
-def load_wav_dir(wav_dir: str, sr: int, max_clips: int):
+def load_wav_dir(wav_dir: str, sr: int, max_clips: int, channels: int = 1):
     from encodec_pytorch_tpu.data.audio_io import read_wav, resample
     clips = []
     for name in sorted(os.listdir(wav_dir)):
         if not name.lower().endswith('.wav'):
             continue
         wav, fsr = read_wav(os.path.join(wav_dir, name))
-        if wav.shape[0] > 1:
-            wav = wav.mean(axis=0, keepdims=True)
+        if wav.shape[0] > channels:
+            wav = (wav.mean(axis=0, keepdims=True) if channels == 1
+                   else wav[:channels])
+        elif wav.shape[0] < channels:
+            wav = np.broadcast_to(wav, (channels, wav.shape[-1])).copy()
         if fsr != sr:
             wav = resample(wav, fsr, sr)
         clips.append((name, wav.astype(np.float32)))
@@ -152,13 +175,14 @@ def main(argv=None):
                    help='torch checkpoint (.th released flat or trainer '
                         'nested); default: generate a seeded self-test one')
     p.add_argument('--model', default='encodec_24khz',
-                   choices=['encodec_24khz', 'my_encodec'])
+                   choices=['encodec_24khz', 'encodec_48khz', 'my_encodec'])
     p.add_argument('--wav-dir', default=None,
                    help='held-out wav directory; default: synthetic clips')
     p.add_argument('--n-clips', type=int, default=4)
     p.add_argument('--seconds', type=float, default=3.0)
-    p.add_argument('--bandwidths', type=float, nargs='+',
-                   default=[1.5, 6., 24.])
+    p.add_argument('--bandwidths', type=float, nargs='+', default=None,
+                   help='default: [1.5, 6, 24] (24k flavors) / [3, 6, 24] '
+                        '(48k — its policy grid starts at 3 kbps)')
     p.add_argument('--out', default=os.path.join(_REPO, 'docs', 'PARITY_EVAL.md'))
     p.add_argument('--wav-tol', type=float, default=2e-3,
                    help='max |jax - torch| waveform divergence allowed')
@@ -170,8 +194,13 @@ def main(argv=None):
                         'file — keeps the real-weights invocation warm for '
                         'when encodec_24khz-d7cc33bc.th is available')
     args = p.parse_args(argv)
+    if args.bandwidths is None:
+        args.bandwidths = ([3., 6., 24.] if args.model == 'encodec_48khz'
+                           else [1.5, 6., 24.])
     if args.dry_run:
-        args.n_clips, args.seconds = 1, 1.0
+        # 48k keeps >1 s so the 1 s segmentation + overlap-add path runs
+        args.n_clips = 1
+        args.seconds = 1.5 if args.model == 'encodec_48khz' else 1.0
         args.bandwidths = args.bandwidths[:1]
         args.out = ''
 
@@ -181,20 +210,27 @@ def main(argv=None):
     ckpt = args.checkpoint
     if ckpt is None:
         tmpdir = tempfile.mkdtemp(prefix='parity_eval_')
-        ckpt = os.path.join(tmpdir, 'selftest_24khz.th')
+        ckpt = os.path.join(tmpdir, f'selftest_{args.model}.th')
         print('# no --checkpoint: generating seeded self-test checkpoint')
-        make_selftest_checkpoint(ckpt)
+        make_selftest_checkpoint(ckpt, model_name=args.model)
 
     tmodel = build_torch_model(args.model, ckpt)
     jmodel, variables = build_jax_model(args.model, ckpt)
     sr = jmodel.sample_rate
+    channels = jmodel.channels
 
     if args.wav_dir:
-        clips = load_wav_dir(args.wav_dir, sr, args.n_clips)
+        clips = load_wav_dir(args.wav_dir, sr, args.n_clips, channels)
     else:
-        clips = synthetic_clips(args.n_clips, args.seconds, sr)
+        clips = synthetic_clips(args.n_clips, args.seconds, sr,
+                                channels=channels)
 
-    has_pesq = M.pesq_score(clips[0][1], clips[0][1], sr) is not None
+    def chan_mean(fn, a, b):
+        """Average a mono metric over channels (stereo 48 kHz flavor)."""
+        return float(np.mean([fn(a[c:c + 1], b[c:c + 1])
+                              for c in range(a.shape[0])]))
+
+    has_pesq = M.pesq_score(clips[0][1][0], clips[0][1][0], sr) is not None
     rows = []
     failures = []
     for bw in args.bandwidths:
@@ -207,12 +243,18 @@ def main(argv=None):
             out_j = roundtrip_jax(jmodel, variables, wav)
             out_t = roundtrip_torch(tmodel, wav)
             n = min(out_j.shape[-1], out_t.shape[-1], wav.shape[-1])
-            agg['mel_j'].append(M.mel_distance(wav[:, :n], out_j[:, :n], sr))
-            agg['mel_t'].append(M.mel_distance(wav[:, :n], out_t[:, :n], sr))
+            agg['mel_j'].append(chan_mean(
+                lambda a, b: M.mel_distance(a, b, sr),
+                wav[:, :n], out_j[:, :n]))
+            agg['mel_t'].append(chan_mean(
+                lambda a, b: M.mel_distance(a, b, sr),
+                wav[:, :n], out_t[:, :n]))
             agg['stoi_j'].append(M.stoi(wav[0, :n], out_j[0, :n], sr))
             agg['stoi_t'].append(M.stoi(wav[0, :n], out_t[0, :n], sr))
-            agg['sisnr_j'].append(M.si_snr(wav[:, :n], out_j[:, :n]))
-            agg['sisnr_t'].append(M.si_snr(wav[:, :n], out_t[:, :n]))
+            agg['sisnr_j'].append(chan_mean(
+                M.si_snr, wav[:, :n], out_j[:, :n]))
+            agg['sisnr_t'].append(chan_mean(
+                M.si_snr, wav[:, :n], out_t[:, :n]))
             agg['wav_div'].append(float(np.abs(out_j[:, :n] - out_t[:, :n]).max()))
             if has_pesq:
                 agg['pesq_j'].append(M.pesq_score(wav[0, :n], out_j[0, :n], sr))

@@ -56,6 +56,27 @@ def test_parity_eval_dry_run_released_style_checkpoint(tmp_path, capsys):
         parity_eval.main(['--checkpoint', str(bad), '--dry-run'])
 
 
+def test_parity_eval_dry_run_48khz(tmp_path, capsys):
+    """Same warm path for the 48 kHz released flavor
+    (``encodec_48khz-7e698e3e.th``, reference model.py:311-329): stereo
+    clips, 1 s segmentation + overlap-add, per-segment normalization
+    scales — conversion, both roundtrips, tolerance assertions."""
+    parity_eval = _import_parity_eval()
+
+    raw = tmp_path / 'raw.th'
+    parity_eval.make_selftest_checkpoint(str(raw), model_name='encodec_48khz')
+    sha8 = hashlib.sha256(raw.read_bytes()).hexdigest()[:8]
+    ckpt = tmp_path / f'encodec_48khz-{sha8}.th'
+    os.rename(raw, ckpt)
+
+    parity_eval.main(['--checkpoint', str(ckpt), '--model', 'encodec_48khz',
+                      '--dry-run'])
+    out = capsys.readouterr().out
+    assert '**PASS**' in out
+    assert f'encodec_48khz-{sha8}.th' in out
+    assert '| 3.0 |' in out   # the 48k bandwidth grid starts at 3 kbps
+
+
 def test_pod_launchers_smoke():
     """bash syntax of both multi-host launchers + their embedded train_cli
     argument lists resolve against the shipped configs."""
