@@ -67,6 +67,23 @@ def init_train_state(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
     return jax.tree.map(jnp.copy, state)
 
 
+def _codebook_metrics(cb, dead_threshold: float) -> Dict[str, jnp.ndarray]:
+    """Codebook-health scalars from the RVQ EMA state (free — no extra
+    forward work): mean normalized usage entropy across stages (1.0 =
+    uniform code usage, → 0 = collapse) and the fraction of codes whose
+    EMA cluster size sits under the expiry threshold. The reference has no
+    analogue (its FIXME at core_vq.py:157 never landed stats at all)."""
+    cs = cb.cluster_size                                    # [K, bins]
+    p = cs / (jnp.sum(cs, axis=-1, keepdims=True) + 1e-12)
+    ent = -jnp.sum(p * jnp.log2(p + 1e-12), axis=-1)        # [K]
+    bins = cs.shape[-1]
+    return {
+        'codebook_entropy': jnp.mean(ent) / jnp.log2(jnp.float32(bins)),
+        'codebook_dead_frac': jnp.mean(
+            (cs < dead_threshold).astype(jnp.float32)),
+    }
+
+
 def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
                      balancer: Balancer, gen_schedule, disc_schedule,
                      disc_prob: float, sample_rate: int,
@@ -294,6 +311,8 @@ def build_train_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
             'lr_d': disc_schedule(state.step),
             **{k: v for k, v in loss_vals.items()},
             **bal_metrics,
+            **_codebook_metrics(
+                new_cb, float(model.quantizer.threshold_ema_dead_code)),
         }
         new_state = TrainState(
             params_g=new_params_g, params_d=new_params_d, quantizer=new_cb,
@@ -456,6 +475,8 @@ def _build_accum_step(model: EncodecModel, disc: MultiScaleSTFTDiscriminator,
             'disc_updated': train_disc.astype(jnp.float32),
             'lr_g': lr_g,
             'lr_d': lr_d,
+            **_codebook_metrics(
+                new_cb, float(model.quantizer.threshold_ema_dead_code)),
         }
         new_state = TrainState(
             params_g=new_params_g, params_d=new_params_d, quantizer=new_cb,

@@ -380,7 +380,8 @@ class Trainer:
                         self.writer.add_scalar('Train/skipped_nonfinite',
                                                avg['skipped_nonfinite'], gstep)
                     self.writer.add_scalar('Train/Loss_G', avg.get('loss_g', 0), gstep)
-                    for k in ('l_t', 'l_f', 'l_g', 'l_feat'):
+                    for k in ('l_t', 'l_f', 'l_g', 'l_feat',
+                              'codebook_entropy', 'codebook_dead_frac'):
                         if k in avg:
                             self.writer.add_scalar(f'Train/{k}', avg[k], gstep)
                     self.writer.add_scalar('Train/Loss_W', avg.get('loss_w', 0), gstep)

@@ -348,3 +348,30 @@ def test_grad_accum_data_parallel_8_devices():
                              jax.random.PRNGKey(2), jnp.asarray(True))
     np.testing.assert_allclose(float(metrics['loss_g']),
                                float(m1['loss_g']), rtol=1e-4)
+
+
+def test_codebook_health_metrics():
+    """Both step variants report normalized codebook usage entropy and the
+    dead-code fraction from the RVQ EMA state; entropy lands in (0, 1] and
+    a fresh kmeans-inited codebook on a small batch leaves most codes under
+    the expiry threshold (high dead fraction), while a frozen uniform
+    codebook (cluster_size=16 everywhere) reports dead_frac == 0."""
+    model, disc, step_fn, state = _tiny_setup()
+    batch = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 1200)) * 0.1
+    _, metrics = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(2),
+                                  jnp.asarray(True))
+    ent = float(metrics['codebook_entropy'])
+    dead = float(metrics['codebook_dead_frac'])
+    assert 0.0 < ent <= 1.0
+    # 1200 samples / 75 frames over 1024 bins: most codes start dead
+    assert 0.5 < dead <= 1.0
+
+    # frozen uniform codebook (accum path): every code's EMA count is 16
+    model2, disc2, balancer, sched, state2 = _frozen_quantizer_setup()
+    accum = jax.jit(build_train_step(model2, disc2, balancer, sched, sched,
+                                     disc_prob=1.0, sample_rate=24000,
+                                     grad_accum_steps=2))
+    _, m2 = accum(state2, jnp.repeat(batch, 2, axis=0),
+                  jax.random.PRNGKey(2), jnp.asarray(True))
+    np.testing.assert_allclose(float(m2['codebook_entropy']), 1.0, atol=1e-5)
+    assert float(m2['codebook_dead_frac']) == 0.0
