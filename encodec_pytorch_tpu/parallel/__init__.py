@@ -1,4 +1,4 @@
-"""Device mesh, sharding helpers, multi-host init."""
+"""Device mesh, sharding helpers, multi-host init, tensor parallelism."""
 
 from .mesh import (  # noqa: F401
     create_mesh,
@@ -6,4 +6,9 @@ from .mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
     initialize_distributed,
+)
+from .tensor import (  # noqa: F401
+    roundtrip_tp,
+    shard_variables_tp,
+    tp_shardings,
 )
