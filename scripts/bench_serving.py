@@ -38,6 +38,10 @@ def main():
     p.add_argument('--seconds', type=int, default=30)
     p.add_argument('--dtype', default='float32',
                    choices=['float32', 'bfloat16'])
+    p.add_argument('--weights', default='raw',
+                   choices=['raw', 'fold', 'int8'],
+                   help='serving prep (prepare.py): fold weight norm, or '
+                        'fold + int8 weight-only quantization')
     args = p.parse_args()
 
     from encodec_pytorch_tpu.models.model import EncodecModel
@@ -56,11 +60,26 @@ def main():
         embed=jax.random.normal(jax.random.PRNGKey(1),
                                 variables['quantizer'].embed.shape))
 
+    if args.weights != 'raw':
+        from encodec_pytorch_tpu.prepare import (dequantize_weights,
+                                                 prepare_for_inference)
+        model, variables = prepare_for_inference(model, variables,
+                                                 weights=args.weights)
+
     overhead = measure_dispatch_overhead()
     print(f'dispatch overhead: {overhead * 1e3:.1f} ms')
     for b in args.batches:
-        def body(x, _):
-            return model(variables, x), None
+        if args.weights == 'int8':
+            dt_w = (jnp.bfloat16 if args.dtype == 'bfloat16'
+                    else jnp.float32)
+
+            def body(x, _, _m=model, _v=variables):
+                vars_ = dict(_v, params=dequantize_weights(_v['params'],
+                                                           dt_w))
+                return _m(vars_, x), None
+        else:
+            def body(x, _, _m=model, _v=variables):
+                return _m(_v, x), None
 
         @jax.jit
         def chained(x):
