@@ -89,7 +89,9 @@ def roundtrip_tp(model, variables, x: jnp.ndarray, mesh: Mesh,
         mesh, P(data_axis) if data_axis is not None else P())
     x = jax.device_put(x, x_sharding)
 
-    cache_key = ('_tp_roundtrip_cache', axis_name, data_axis)
+    # model.bandwidth is read at TRACE time (it selects n_q) — key the
+    # compiled program on it so set_target_bandwidth takes effect
+    cache_key = (axis_name, data_axis, model.bandwidth)
     cache: Any = model.__dict__.setdefault('_tp_cache', {})
     fn = cache.get(cache_key)
     if fn is None:

@@ -171,12 +171,15 @@ def quantized_call(model: EncodecModel, qvariables: Dict[str, Any],
     dequantized weight dtype (defaults to the model's compute dtype)."""
     dtype = dtype or getattr(model.encoder, 'dtype', jnp.float32)
     cache = model.__dict__.setdefault('_q8_cache', {})
-    fn = cache.get(dtype)
+    # the forward reads model.bandwidth at TRACE time (it selects n_q), so
+    # the compiled program must be keyed on it — a dtype-only cache would
+    # silently serve the first bandwidth forever after set_target_bandwidth
+    fn = cache.get((dtype, model.bandwidth))
     if fn is None:
         def _fn(qvars, x):
             vars_ = dict(qvars,
                          params=dequantize_weights(qvars['params'], dtype))
             return model(vars_, x)
         fn = jax.jit(_fn)
-        cache[dtype] = fn
+        cache[(dtype, model.bandwidth)] = fn
     return fn(qvariables, x)

@@ -188,6 +188,10 @@ def main(argv=None):
                    help='max |jax - torch| waveform divergence allowed')
     p.add_argument('--mel-tol', type=float, default=0.02,
                    help='max |mel_jax - mel_torch| quality-metric gap allowed')
+    p.add_argument('--int8', action='store_true',
+                   help='also evaluate the int8 weight-only serving path '
+                        '(prepare.py) and report its quality deltas vs the '
+                        'f32 jax model (weight_norm flavors only)')
     p.add_argument('--dry-run', action='store_true',
                    help='smoke-test the full arg/checkpoint/conversion path '
                         'fast: 1 clip, 1 s, lowest bandwidth only, no report '
@@ -219,6 +223,17 @@ def main(argv=None):
     sr = jmodel.sample_rate
     channels = jmodel.channels
 
+    qmodel = qvars = None
+    if args.int8:
+        from encodec_pytorch_tpu.prepare import (prepare_for_inference,
+                                                 quantized_call)
+        if jmodel.encoder.norm != 'weight_norm':
+            print(f'# --int8 skipped: {args.model} is not a weight_norm '
+                  'flavor (folding does not apply)')
+        else:
+            qmodel, qvars = prepare_for_inference(jmodel, variables,
+                                                  weights='int8')
+
     if args.wav_dir:
         clips = load_wav_dir(args.wav_dir, sr, args.n_clips, channels)
     else:
@@ -238,11 +253,23 @@ def main(argv=None):
         tmodel.set_target_bandwidth(bw)
         agg = {k: [] for k in ('mel_j', 'mel_t', 'stoi_j', 'stoi_t',
                                'sisnr_j', 'sisnr_t', 'wav_div', 'pesq_j',
-                               'pesq_t')}
+                               'pesq_t', 'mel_q', 'stoi_q', 'sisnr_q')}
+        if qmodel is not None:
+            qmodel.set_target_bandwidth(bw)
         for name, wav in clips:
             out_j = roundtrip_jax(jmodel, variables, wav)
             out_t = roundtrip_torch(tmodel, wav)
             n = min(out_j.shape[-1], out_t.shape[-1], wav.shape[-1])
+            if qmodel is not None:
+                import jax.numpy as jnp
+                out_q = np.asarray(quantized_call(
+                    qmodel, qvars, jnp.asarray(wav[None]))[0])
+                agg['mel_q'].append(chan_mean(
+                    lambda a, b: M.mel_distance(a, b, sr),
+                    wav[:, :n], out_q[:, :n]))
+                agg['stoi_q'].append(M.stoi(wav[0, :n], out_q[0, :n], sr))
+                agg['sisnr_q'].append(chan_mean(
+                    M.si_snr, wav[:, :n], out_q[:, :n]))
             agg['mel_j'].append(chan_mean(
                 lambda a, b: M.mel_distance(a, b, sr),
                 wav[:, :n], out_j[:, :n]))
@@ -289,6 +316,19 @@ def main(argv=None):
             f"{abs(r['mel_j'] - r['mel_t']):.5f} | {r['stoi_j']:.4f} | "
             f"{r['stoi_t']:.4f} | {r['sisnr_j']:.2f} | {r['sisnr_t']:.2f} | "
             f"{r['wav_div']:.2e} |")
+    if qmodel is not None:
+        lines.append('')
+        lines.append('Int8 weight-only serving path (prepare.py) vs the f32 '
+                     'jax model:')
+        lines.append('')
+        lines.append('| bw kbps | mel (int8) | Δmel vs f32 | STOI (int8) '
+                     '| SI-SNR (int8) |')
+        lines.append('|---|---|---|---|---|')
+        for r in rows:
+            lines.append(
+                f"| {r['bw']} | {r['mel_q']:.4f} | "
+                f"{r['mel_q'] - r['mel_j']:+.5f} | {r['stoi_q']:.4f} | "
+                f"{r['sisnr_q']:.2f} |")
     if has_pesq:
         lines.append('')
         lines.append('| bw kbps | PESQ (jax) | PESQ (torch) |')

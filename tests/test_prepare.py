@@ -97,6 +97,31 @@ def test_int8_forward_is_close():
     assert rel_dec < 0.05, rel_dec
 
 
+def test_quantized_call_tracks_bandwidth():
+    """Regression: the quantized-serving jit cache must be keyed on the
+    model bandwidth (it selects n_q at trace time) — switching via
+    set_target_bandwidth must not reuse the stale compiled program."""
+    model, variables = _model_and_vars(n_filters=8)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 1, 1920)) * 0.1
+    qmodel, qvars = prepare_for_inference(model, variables, weights='int8')
+
+    qmodel.set_target_bandwidth(1.5)
+    model.set_target_bandwidth(1.5)
+    y_lo = np.asarray(quantized_call(qmodel, qvars, x))
+    ref_lo = np.asarray(model(variables, x))
+    qmodel.set_target_bandwidth(6.)
+    model.set_target_bandwidth(6.)
+    y_hi = np.asarray(quantized_call(qmodel, qvars, x))
+    ref_hi = np.asarray(model(variables, x))
+
+    assert not np.allclose(ref_lo, ref_hi)  # bandwidths really differ
+    # each quantized output tracks its own bandwidth's reference, and the
+    # int8 outputs differ from each other the same way
+    assert np.linalg.norm(y_lo - ref_lo) < np.linalg.norm(y_lo - ref_hi)
+    assert np.linalg.norm(y_hi - ref_hi) < np.linalg.norm(y_hi - ref_lo)
+    assert not np.allclose(y_lo, y_hi)
+
+
 def test_prepared_variables_feed_streaming():
     """Folded params run through the streaming interpreter (it consumes the
     'kernel' parametrization directly) and match the batch forward."""

@@ -78,6 +78,24 @@ def test_tp_with_data_axis():
     np.testing.assert_allclose(y_tp, y_ref, atol=2e-5, rtol=1e-5)
 
 
+def test_tp_tracks_bandwidth():
+    """Regression: roundtrip_tp's jit cache is keyed on model.bandwidth
+    (read at trace time to select n_q); switching bandwidths must not
+    serve the first compiled program."""
+    model, variables = _model_and_vars()
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 1, 1920)) * 0.1
+    mesh = create_mesh(8, ('model',))
+    model.set_target_bandwidth(1.5)
+    y_lo = np.asarray(roundtrip_tp(model, variables, x, mesh))
+    ref_lo = np.asarray(model(variables, x))
+    model.set_target_bandwidth(6.)
+    y_hi = np.asarray(roundtrip_tp(model, variables, x, mesh))
+    ref_hi = np.asarray(model(variables, x))
+    assert not np.allclose(ref_lo, ref_hi)
+    np.testing.assert_allclose(y_lo, ref_lo, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(y_hi, ref_hi, atol=2e-5, rtol=1e-5)
+
+
 def test_tp_indivisible_widths_replicate():
     """A model whose widths don't divide the mesh still runs (replicated
     leaves), and the output is unchanged."""
