@@ -434,6 +434,8 @@ class StreamingCodec:
         fn = self._enc_jit.get(first)
         if fn is None:
             def _fn(params, qstate, state, x, n_q):
+                from .prepare import dequantize_weights
+                params = dequantize_weights(params)  # no-op on plain params
                 emb, new_state = self.encoder.apply(params, state, x,
                                                     first=first)
                 codes = self.model._rvq_encode_impl(qstate, emb, n_q)
@@ -452,6 +454,8 @@ class StreamingCodec:
             from .quantization.core_vq import rvq_decode
 
             def _fn(params, qstate, state, codes):
+                from .prepare import dequantize_weights
+                params = dequantize_weights(params)  # no-op on plain params
                 emb = rvq_decode(qstate, jnp.transpose(codes, (1, 0, 2)))
                 y, new_state = self.decoder.apply(params, state, emb,
                                                   first=first)
@@ -482,6 +486,8 @@ class StreamingCodec:
             from .quantization.core_vq import rvq_decode
 
             def _fn(params, qstate, enc_state, dec_state, x, n_q):
+                from .prepare import dequantize_weights
+                params = dequantize_weights(params)  # no-op on plain params
                 emb, new_enc = self.encoder.apply(params['encoder'], enc_state,
                                                   x, first=first)
                 codes = self.model._rvq_encode_impl(qstate, emb, n_q)  # [K,B,t]

@@ -43,6 +43,10 @@ def main():
     p.add_argument('--hops', type=int, nargs='+', default=[1, 2, 4, 8])
     p.add_argument('--chunks', type=int, default=64, help='measured chunks')
     p.add_argument('--bandwidth', type=float, default=6.0)
+    p.add_argument('--weights', default='raw',
+                   choices=['raw', 'fold', 'int8'],
+                   help='serving prep (prepare.py); int8 keeps the weights '
+                        'int8 in HBM and dequantizes in-program per chunk')
     args = p.parse_args()
 
     from encodec_pytorch_tpu.models.model import EncodecModel
@@ -59,6 +63,10 @@ def main():
         embed=jax.random.normal(jax.random.PRNGKey(1),
                                 variables['quantizer'].embed.shape))
     model.set_target_bandwidth(args.bandwidth)
+    if args.weights != 'raw':
+        from encodec_pytorch_tpu.prepare import prepare_for_inference
+        model, variables = prepare_for_inference(model, variables,
+                                                 weights=args.weights)
 
     rtt = measure_rtt()
     print(f'# relay round-trip floor: {rtt * 1e3:.2f} ms', flush=True)

@@ -151,6 +151,25 @@ def test_prepared_variables_feed_streaming():
     np.testing.assert_allclose(
         y_stream, y_batch[:, :, :y_stream.shape[-1]], atol=2e-5)
 
+    # int8 variables stream too: the chunk programs dequantize in-program
+    # (HBM holds int8) and must match the batched quantized forward
+    qmodel, qvars = prepare_for_inference(model, variables, weights='int8')
+    qmodel.set_target_bandwidth(6.)
+    y_qbatch = np.asarray(quantized_call(qmodel, qvars, x))
+    qcodec = StreamingCodec(qmodel)
+    enc_state, dec_state = qcodec.init_state(1)
+    outs_q = []
+    pos = 0
+    for i, n in enumerate(chunk_sizes):
+        wav = x[:, :, pos:pos + n]
+        pos += n
+        out, _codes, enc_state, dec_state = qcodec.roundtrip_chunk(
+            qvars, enc_state, dec_state, wav, first=(i == 0))
+        outs_q.append(np.asarray(out))
+    y_qstream = np.concatenate(outs_q, axis=-1)
+    np.testing.assert_allclose(
+        y_qstream, y_qbatch[:, :, :y_qstream.shape[-1]], atol=2e-5)
+
 
 if __name__ == '__main__':
     pytest.main([__file__, '-v'])
