@@ -59,6 +59,12 @@ def get_parser():
                              'key picks the matching decoder), but '
                              'host-encoded and fused-encoded streams are '
                              'not interchangeable across implementations.')
+    parser.add_argument('--weights', type=str, default='raw',
+                        choices=['raw', 'fold'],
+                        help="'fold' collapses weight-norm into plain "
+                             'kernels at load (prepare.py) — bit-equal '
+                             'output, fewer ops per call; weight_norm '
+                             'flavors only.')
     parser.add_argument('--compile_cache_dir', type=str,
                         default=os.environ.get('ENCODEC_TPU_COMPILE_CACHE',
                                                ''),
@@ -150,6 +156,13 @@ def cli_main(args):
     if args.bandwidth not in model.target_bandwidths:
         fatal(f"Bandwidth {args.bandwidth} is not supported by {model_name}")
     model.set_target_bandwidth(args.bandwidth)
+
+    if args.weights == 'fold':
+        from .prepare import fold_weight_norm
+        if model.encoder.norm != 'weight_norm':
+            fatal(f"--weights fold requires a weight_norm model; "
+                  f"{model_name} uses '{model.encoder.norm}'")
+        model, variables = fold_weight_norm(model, variables)
 
     # the LM is needed for compression when -l is passed, and for
     # decompression whenever the stream's header says lm=True — so build it

@@ -80,7 +80,9 @@ def fold_weight_norm(model: EncodecModel, variables: Dict[str, Any],
         normalize=model.normalize,
         segment=model.segment,
         overlap=model.overlap,
-        name=model.name + '_folded')
+        # keep the name: it rides in the ECDC wire header (binary.py), and
+        # the folded model is the same codec — streams must interchange
+        name=model.name)
     if model.bandwidth is not None:
         folded.set_target_bandwidth(model.bandwidth)
     out = {'params': fold_weight_norm_params(variables['params'])}
