@@ -83,6 +83,56 @@ def test_compress_roundtrip_lm(small_model):
     np.testing.assert_allclose(out, direct, atol=1e-5)
 
 
+def test_cli_weights_fold(tmp_path, small_model, monkeypatch):
+    """``--weights fold`` folds weight norm at load (prepare.py) and must be
+    wire-invisible: bit-identical .ecdc vs the raw path (the folded model
+    keeps its name, which rides in the ECDC header) and a clean decode
+    through the folded graph."""
+    from encodec_pytorch_tpu import cli
+    from encodec_pytorch_tpu.data.audio_io import read_wav, write_wav
+    model, variables = small_model
+    monkeypatch.setitem(
+        __import__('encodec_pytorch_tpu.models.model',
+                   fromlist=['MODELS']).MODELS,
+        'encodec_24khz', lambda checkpoint=None: (model, variables))
+
+    wav = (0.2 * np.sin(np.linspace(0, 200, 2400))).astype(np.float32)[None]
+    inp = tmp_path / 'in.wav'
+    write_wav(inp, wav, 24000)
+
+    raw_ecdc = tmp_path / 'raw.ecdc'
+    fold_ecdc = tmp_path / 'fold.ecdc'
+    cli.main([str(inp), str(raw_ecdc), '-b', '6', '--weights', 'raw'])
+    cli.main([str(inp), str(fold_ecdc), '-b', '6', '--weights', 'fold'])
+    assert raw_ecdc.read_bytes() == fold_ecdc.read_bytes()
+
+    out_wav = tmp_path / 'fold.wav'
+    cli.main([str(fold_ecdc), str(out_wav), '--weights', 'fold'])
+    dec, sr = read_wav(out_wav)
+    assert sr == 24000 and dec.shape == (1, 2400)
+
+
+def test_cli_weights_fold_rejects_non_weight_norm(tmp_path, monkeypatch):
+    """--weights fold on a non-weight_norm flavor must fail loudly
+    (fold_weight_norm only folds the (v, g) parametrization)."""
+    from encodec_pytorch_tpu import cli
+    from encodec_pytorch_tpu.data.audio_io import write_wav
+    model = EncodecModel._get_model(
+        [1.5, 3.], 24000, 1, causal=False, model_norm='time_group_norm',
+        audio_normalize=False, segment=None, name='encodec_24khz', n_q=2,
+        n_filters=4)
+    variables = model.init(jax.random.PRNGKey(0), example_length=2400)
+    monkeypatch.setitem(
+        __import__('encodec_pytorch_tpu.models.model',
+                   fromlist=['MODELS']).MODELS,
+        'encodec_24khz', lambda checkpoint=None: (model, variables))
+    inp = tmp_path / 'in.wav'
+    write_wav(inp, np.zeros((1, 2400), np.float32), 24000)
+    with pytest.raises(SystemExit):
+        cli.main([str(inp), str(tmp_path / 'o.ecdc'), '-b', '3',
+                  '--weights', 'fold'])
+
+
 def test_cli_roundtrip(tmp_path, small_model, monkeypatch):
     from encodec_pytorch_tpu import cli
     from encodec_pytorch_tpu.data.audio_io import read_wav, write_wav
