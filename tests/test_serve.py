@@ -1,0 +1,165 @@
+"""Serving runtime (serve.py): the micro-batching server must return
+exactly what direct calls return, coalesce compatible queued requests
+into one padded dispatch, keep incompatible requests apart, propagate
+errors, and run from either backend (live model / StableHLO artifact)."""
+
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from encodec_pytorch_tpu import deploy
+from encodec_pytorch_tpu.models.model import EncodecModel
+from encodec_pytorch_tpu.serve import CodecServer, LiveCodec
+
+
+@pytest.fixture(scope='module')
+def live():
+    model = EncodecModel._get_model(
+        [1.5, 3.], 24000, 1, causal=True, model_norm='weight_norm',
+        audio_normalize=False, segment=None, name='encodec_24khz', n_q=4,
+        n_filters=4)
+    variables = model.init(jax.random.PRNGKey(0), example_length=2400)
+    variables['quantizer'] = variables['quantizer']._replace(
+        inited=jnp.ones_like(variables['quantizer'].inited),
+        embed=jax.random.normal(jax.random.PRNGKey(1),
+                                variables['quantizer'].embed.shape))
+    model.set_target_bandwidth(3.)
+    return model, variables, LiveCodec(model, variables)
+
+
+def _clips(n, t, seed=0):
+    k = jax.random.PRNGKey(seed)
+    return [np.asarray(jax.random.normal(jax.random.fold_in(k, i),
+                                         (1, t))) * 0.1 for i in range(n)]
+
+
+def test_live_codec_matches_model(live):
+    model, variables, codec = live
+    x = _clips(1, 2400)[0][None]
+    live_out = np.asarray(model(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(np.asarray(codec.roundtrip(x)), live_out,
+                               atol=1e-6)
+    codes = codec.encode(x, bandwidth=1.5)
+    ref = model.encode(variables, jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(codes[0]),
+                                  np.asarray(ref[0][0]))
+    dec = codec.decode(codes, bandwidth=1.5, length=2400)
+    model.set_target_bandwidth(1.5)
+    np.testing.assert_allclose(
+        np.asarray(dec), np.asarray(model(variables, jnp.asarray(x))),
+        atol=1e-6)
+    model.set_target_bandwidth(3.)
+
+
+def test_server_coalesces_and_matches(live):
+    """Requests queued before the worker starts land in ONE padded batch,
+    and each result equals the direct single-clip call."""
+    _, _, codec = live
+    clips = _clips(5, 2400)
+    direct = [np.asarray(codec.roundtrip(c[None]))[0] for c in clips]
+
+    server = CodecServer(codec, max_batch=8, max_wait_ms=1.0)
+    futures = [server.submit('roundtrip', c) for c in clips]  # not started
+    server.start()
+    try:
+        outs = [f.result(timeout=300) for f in futures]
+    finally:
+        server.stop()
+
+    for out, ref in zip(outs, direct):
+        assert out.shape == ref.shape == (1, 2400)
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+    s = server.stats()
+    assert s['requests'] == 5 and s['batches'] == 1
+    assert s['mean_batch'] == 5 and s['padded_items'] == 3  # bucket 8
+    assert 'latency_p50_ms' in s
+
+
+def test_server_separates_incompatible(live):
+    """Different lengths / bandwidths / kinds never share a dispatch."""
+    _, _, codec = live
+    a, b = _clips(1, 2400)[0], _clips(1, 1200, seed=9)[0]
+    server = CodecServer(codec, max_batch=8, max_wait_ms=1.0)
+    f1 = server.submit('roundtrip', a)
+    f2 = server.submit('roundtrip', b)            # different T
+    f3 = server.submit('roundtrip', a, bandwidth=1.5)   # different bw
+    f4 = server.submit('encode', a)               # different kind
+    server.start()
+    try:
+        r1, r2, r3, r4 = [f.result(timeout=300) for f in (f1, f2, f3, f4)]
+    finally:
+        server.stop()
+    assert r1.shape == (1, 2400) and r2.shape == (1, 1200)
+    np.testing.assert_allclose(
+        r3, np.asarray(codec.roundtrip(a[None], bandwidth=1.5))[0],
+        atol=1e-6)
+    assert r4[0].shape[0] == 4  # n_q at bw=3 (0.75 kbps/codebook)
+    assert server.stats()['batches'] == 4
+
+
+def test_server_encode_decode_roundtrip(live):
+    """encode → decode through the server == roundtrip through the server."""
+    _, _, codec = live
+    clip = _clips(1, 2400, seed=3)[0]
+    with CodecServer(codec, max_wait_ms=0.5) as server:
+        codes = server.encode(clip, timeout=300)
+        wav = server.decode(codes, length=2400, timeout=300)
+        rt = server.roundtrip(clip, timeout=300)
+    np.testing.assert_allclose(wav, rt, atol=1e-6)
+
+
+def test_server_concurrent_threads(live):
+    """Many caller threads, mixed shapes: all results correct."""
+    _, _, codec = live
+    clips = _clips(6, 2400, seed=5) + _clips(6, 1200, seed=6)
+    direct = [np.asarray(codec.roundtrip(c[None]))[0] for c in clips]
+    results = [None] * len(clips)
+
+    with CodecServer(codec, max_batch=4, max_wait_ms=20.0) as server:
+        def call(i):
+            results[i] = server.roundtrip(clips[i], timeout=300)
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(len(clips))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        s = server.stats()
+
+    for out, ref in zip(results, direct):
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+    assert s['requests'] == 12
+    assert s['batches'] < 12  # some coalescing must have happened
+
+
+def test_server_error_propagates(live):
+    _, _, codec = live
+    with CodecServer(codec, max_wait_ms=0.5) as server:
+        fut = server.submit('roundtrip', np.zeros((3, 7, 5), np.float32))
+        with pytest.raises(Exception):
+            fut.result(timeout=300)
+        # server stays alive for good requests afterwards
+        out = server.roundtrip(_clips(1, 1200)[0], timeout=300)
+    assert out.shape == (1, 1200)
+    with pytest.raises(ValueError, match='kind'):
+        server.submit('stream', np.zeros((1, 10), np.float32))
+
+
+def test_server_artifact_backend(tmp_path, live):
+    """The same server runs from a StableHLO artifact (DeployedCodec)."""
+    model, variables, codec = live
+    path = tmp_path / 'codec.ecdz'
+    deploy.save_artifact(path, model, variables, lengths=[2400],
+                         bandwidths=[3.], kinds=['encode', 'decode',
+                                                 'roundtrip'])
+    artifact = deploy.DeployedCodec.load(path)
+    clips = _clips(3, 2400, seed=7)
+    with CodecServer(artifact, max_batch=4, max_wait_ms=1.0) as server:
+        outs = [server.roundtrip(c, bandwidth=3., timeout=300)
+                for c in clips]
+    for c, out in zip(clips, outs):
+        ref = np.asarray(codec.roundtrip(c[None], bandwidth=3.))[0]
+        np.testing.assert_allclose(out, ref, atol=1e-6)
