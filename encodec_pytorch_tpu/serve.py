@@ -28,6 +28,7 @@ from concurrent.futures import Future
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .deploy import _decode_fn, _encode_fn, _roundtrip_fn
@@ -286,3 +287,278 @@ class CodecServer:
                 for r in batch:
                     if not r.future.done():
                         r.future.set_exception(e)
+
+
+# ===================================================================== live
+# streaming multiplexer
+
+
+def _batch_axes(tree_n, tree_1, n: int):
+    """Pytree of ints: which axis of each state leaf is the batch axis,
+    discovered by comparing init_state(n) against init_state(1) shapes
+    (conv carries batch on axis 0, LSTM h/c on axis 1 — streaming.py)."""
+    def find(a, b):
+        axes = [i for i, (x, y) in enumerate(zip(a.shape, b.shape))
+                if x == n and y == 1 and x != y]
+        if len(axes) != 1:
+            raise ValueError(
+                f"ambiguous batch axis for state leaf {a.shape} vs {b.shape}"
+                f" (n={n}); pick max_streams != any state dimension")
+        return axes[0]
+    return jax.tree.map(find, tree_n, tree_1)
+
+
+def _mask_select(mask, new, old, axes):
+    """Per-leaf where(mask) with the mask broadcast onto each leaf's batch
+    axis; inactive slots keep their old state."""
+    def sel(n, o, ax):
+        shape = [1] * n.ndim
+        shape[ax] = mask.shape[0]
+        return jnp.where(mask.reshape(shape), n, o)
+    return jax.tree.map(sel, new, old, axes)
+
+
+class StreamSession:
+    """One live stream inside a :class:`StreamingServer`. ``process`` blocks
+    until the chunk's decoded audio is ready; chunks after the first must
+    be exactly ``server.chunk_samples`` long."""
+
+    def __init__(self, server: 'StreamingServer', slot: int):
+        self._server = server
+        self.slot = slot
+        self.started = False
+        self.closed = False
+
+    def process(self, wav_chunk, timeout: Optional[float] = None):
+        """wav_chunk [C, T] → decoded [C, T] (bit-equal to the offline
+        model on the concatenated stream). First chunk: T ≥
+        ``server.min_first_chunk_samples``, multiple of the hop."""
+        if self.closed:
+            raise RuntimeError('stream is closed')
+        return self._server._process(self, np.asarray(wav_chunk),
+                                     timeout=timeout)
+
+    def close(self):
+        if not self.closed:
+            self.closed = True
+            self._server._release(self)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class StreamingServer:
+    """Multiplexes up to ``max_streams`` concurrent chunked streams through
+    ONE fixed-shape jitted step (encode→quantize→decode with carried conv/
+    LSTM state, streaming.py math — outputs are bit-equal to each stream
+    running alone).
+
+    TPU rationale: batch-1 streaming is weight-bandwidth/dispatch-bound
+    (docs/PERF_NOTES.md "Streaming inference latency"), so serving N
+    streams as N programs wastes nearly the whole chip. Here every slot
+    lives at a fixed index of a batched state pytree (donated, updated in
+    place); each tick runs ALL slots and an active mask keeps the state of
+    idle slots frozen — one compiled program regardless of which subset of
+    streams has a chunk pending. Joins run their (longer) first chunk
+    through the B=1 ``first=True`` program, then the fresh state is
+    spliced into the slot (``dynamic_update_slice`` on the discovered
+    batch axis of every leaf).
+
+    Constraints inherited from streaming.py: causal, unnormalized models;
+    steady chunks exactly ``chunk_hops`` latent frames (320 samples each
+    at 24 kHz); one bandwidth per server (the shared program bakes n_q).
+    """
+
+    def __init__(self, model, variables, *, max_streams: int = 8,
+                 chunk_hops: int = 1, max_wait_ms: float = 2.0,
+                 bandwidth: Optional[float] = None):
+        from .streaming import StreamingCodec
+        if max_streams < 2:
+            raise ValueError('max_streams must be >= 2 (a 1-slot server '
+                             'is StreamingCodec itself)')
+        if bandwidth is not None:
+            model.set_target_bandwidth(bandwidth)
+        self.model = model
+        self.variables = variables
+        self.codec = StreamingCodec(model)
+        self.max_streams = max_streams
+        self.chunk_samples = chunk_hops * self.codec.hop
+        self.max_wait = max_wait_ms / 1e3
+        self.n_q = int(model.quantizer.num_quantizers_for_bandwidth(
+            model.frame_rate, model.bandwidth))
+
+        self._enc_state, self._dec_state = self.codec.init_state(max_streams)
+        enc1, dec1 = self.codec.init_state(1)
+        self._enc_axes = _batch_axes(self._enc_state, enc1, max_streams)
+        self._dec_axes = _batch_axes(self._dec_state, dec1, max_streams)
+        self._mux = self._build_mux()
+
+        self._free = list(range(max_streams - 1, -1, -1))
+        self._pending: Dict[int, Tuple[np.ndarray, Future, 'StreamSession']] \
+            = {}
+        self._cv = threading.Condition()
+        self._stop = False
+        self._thread: Optional[threading.Thread] = None
+        self._stats = {'chunks': 0, 'ticks': 0, 'joins': 0}
+
+    @property
+    def min_first_chunk_samples(self) -> int:
+        return self.codec.min_first_chunk_samples
+
+    # ---------------------------------------------------------- lifecycle
+
+    def start(self) -> 'StreamingServer':
+        if self._thread is None:
+            self._stop = False
+            self._thread = threading.Thread(target=self._worker,
+                                            name='streaming-server',
+                                            daemon=True)
+            self._thread.start()
+        return self
+
+    def stop(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    def stats(self) -> dict:
+        with self._cv:
+            s = dict(self._stats)
+            s['active_streams'] = self.max_streams - len(self._free)
+        return s
+
+    # ---------------------------------------------------------- sessions
+
+    def open_stream(self) -> StreamSession:
+        with self._cv:
+            if not self._free:
+                raise RuntimeError(
+                    f"all {self.max_streams} stream slots are in use")
+            slot = self._free.pop()
+        return StreamSession(self, slot)
+
+    def _release(self, session: StreamSession):
+        with self._cv:
+            self._pending.pop(session.slot, None)
+            self._free.append(session.slot)
+
+    def _process(self, session: StreamSession, chunk: np.ndarray,
+                 timeout: Optional[float]):
+        if session.started and chunk.shape[-1] != self.chunk_samples:
+            raise ValueError(
+                f"steady chunks must be exactly {self.chunk_samples} "
+                f"samples, got {chunk.shape[-1]}")
+        fut: Future = Future()
+        with self._cv:
+            assert session.slot not in self._pending, \
+                'one in-flight chunk per stream (process() blocks)'
+            self._pending[session.slot] = (chunk, fut, session)
+            self._stats['chunks'] += 1
+            self._cv.notify()
+        return fut.result(timeout)
+
+    # ---------------------------------------------------------- the step
+
+    def _build_mux(self):
+        from .prepare import dequantize_weights
+        from .quantization.core_vq import rvq_decode
+        codec, enc_axes, dec_axes = self.codec, self._enc_axes, self._dec_axes
+        rvq_encode_impl = self.model._rvq_encode_impl
+
+        def _fn(params, qstate, enc_state, dec_state, x, mask, n_q):
+            params = dequantize_weights(params)  # no-op on plain params
+            emb, new_enc = codec.encoder.apply(params['encoder'], enc_state,
+                                               x, first=False)
+            codes = rvq_encode_impl(qstate, emb, n_q)  # [K, B, t]
+            deq = rvq_decode(qstate, codes)
+            y, new_dec = codec.decoder.apply(params['decoder'], dec_state,
+                                             deq, first=False)
+            new_enc = _mask_select(mask, new_enc, enc_state, enc_axes)
+            new_dec = _mask_select(mask, new_dec, dec_state, dec_axes)
+            return jnp.swapaxes(y, 1, 2), new_enc, new_dec
+
+        return jax.jit(_fn, static_argnums=6, donate_argnums=(2, 3))
+
+    def _splice_slot(self, storage, axes, state1, slot: int):
+        """Write a B=1 state into slot ``slot`` along each leaf's batch
+        axis (after a first-chunk join)."""
+        return jax.tree.map(
+            lambda S, s, ax: jax.lax.dynamic_update_slice_in_dim(
+                S, s.astype(S.dtype), slot, axis=ax),
+            storage, state1, axes)
+
+    def _first_chunk(self, slot: int, chunk: np.ndarray) -> np.ndarray:
+        enc1, dec1 = self.codec.init_state(1)
+        wav, _codes, enc1, dec1 = self.codec.roundtrip_chunk(
+            self.variables, enc1, dec1, chunk[None], first=True)
+        self._enc_state = self._splice_slot(self._enc_state, self._enc_axes,
+                                            enc1, slot)
+        self._dec_state = self._splice_slot(self._dec_state, self._dec_axes,
+                                            dec1, slot)
+        return np.asarray(wav)[0]
+
+    def _worker(self):
+        channels = self.model.channels
+        while True:
+            with self._cv:
+                while not self._pending and not self._stop:
+                    self._cv.wait(timeout=0.1)
+                if self._stop:
+                    return
+                deadline = time.monotonic() + self.max_wait
+                # hold the tick open briefly for more streams' chunks
+                while (len(self._pending) <
+                       self.max_streams - len(self._free)):
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0 or self._stop:
+                        break
+                    self._cv.wait(timeout=remaining)
+                pending, self._pending = dict(self._pending), {}
+                self._stats['ticks'] += 1
+
+            firsts = {s: v for s, v in pending.items() if not v[2].started}
+            steady = {s: v for s, v in pending.items() if v[2].started}
+
+            for slot, (chunk, fut, sess) in firsts.items():
+                try:
+                    out = self._first_chunk(slot, chunk)
+                    sess.started = True
+                    with self._cv:
+                        self._stats['joins'] += 1
+                    fut.set_result(out)
+                except Exception as e:  # noqa: BLE001
+                    fut.set_exception(e)
+
+            if not steady:
+                continue
+            try:
+                xs = np.zeros((self.max_streams, channels,
+                               self.chunk_samples), np.float32)
+                mask = np.zeros((self.max_streams,), bool)
+                for slot, (chunk, _f, _s) in steady.items():
+                    xs[slot] = chunk
+                    mask[slot] = True
+                wav, self._enc_state, self._dec_state = self._mux(
+                    self.variables['params'], self.variables['quantizer'],
+                    self._enc_state, self._dec_state,
+                    jnp.swapaxes(jnp.asarray(xs), 1, 2), jnp.asarray(mask),
+                    self.n_q)
+                wav = np.asarray(wav)
+                for slot, (_c, fut, _s) in steady.items():
+                    fut.set_result(wav[slot])
+            except Exception as e:  # noqa: BLE001
+                for _c, fut, _s in steady.values():
+                    if not fut.done():
+                        fut.set_exception(e)
