@@ -29,4 +29,8 @@ def __getattr__(name):
         return getattr(importlib.import_module('.compress', __name__), name)
     if name == 'load_config':
         return importlib.import_module('.config', __name__).load_config
+    if name in ('DeployedCodec', 'save_artifact'):
+        return getattr(importlib.import_module('.deploy', __name__), name)
+    if name in ('CodecServer', 'LiveCodec', 'StreamingServer'):
+        return getattr(importlib.import_module('.serve', __name__), name)
     raise AttributeError(name)
