@@ -40,10 +40,12 @@ class LiveCodec:
     """DeployedCodec-compatible facade over a live model.
 
     Calls are jit-compiled and cached per (kind, bandwidth, output
-    length); XLA additionally specializes per input shape. NOT
-    thread-safe (``set_target_bandwidth`` mutates the model around
-    tracing) — :class:`CodecServer` serializes access; for direct
-    multi-threaded use, wrap calls in your own lock.
+    length); XLA additionally specializes per input shape. Accepts int8
+    weight-only variables (prepare.quantize_weights): dequantization
+    runs inside the program so HBM keeps int8. NOT thread-safe
+    (``set_target_bandwidth`` mutates the model around tracing) —
+    :class:`CodecServer` serializes access; for direct multi-threaded
+    use, wrap calls in your own lock.
     """
 
     def __init__(self, model, variables,
@@ -63,12 +65,22 @@ class LiveCodec:
         key = (kind, bw, length)
         fn = self._jitted.get(key)
         if fn is None:
-            if kind == 'encode':
-                fn = jax.jit(_encode_fn(self.model, self.variables))
-            elif kind == 'roundtrip':
-                fn = jax.jit(_roundtrip_fn(self.model, self.variables))
-            else:
-                fn = jax.jit(_decode_fn(self.model, self.variables, length))
+            model, variables = self.model, self.variables
+
+            def build(*args):
+                # int8 weight-only trees (prepare.quantize_weights)
+                # dequantize INSIDE the program: HBM keeps int8, the
+                # convert+scale fuses into each op's operand load
+                from .prepare import dequantize_weights
+                vars_ = dict(variables,
+                             params=dequantize_weights(variables['params']))
+                if kind == 'encode':
+                    return _encode_fn(model, vars_)(*args)
+                if kind == 'roundtrip':
+                    return _roundtrip_fn(model, vars_)(*args)
+                return _decode_fn(model, vars_, length)(*args)
+
+            fn = jax.jit(build)
             self._jitted[key] = fn
         # the model's bandwidth is read at TRACE time (it selects n_q);
         # set it for every call — jit traces lazily per input shape

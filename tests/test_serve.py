@@ -148,6 +148,21 @@ def test_server_error_propagates(live):
         server.submit('stream', np.zeros((1, 10), np.float32))
 
 
+def test_server_int8_backend(live):
+    """LiveCodec over int8 weight-only variables (in-program dequant) must
+    match prepare.quantized_call's math through the server."""
+    from encodec_pytorch_tpu.prepare import prepare_for_inference, \
+        quantized_call
+    model, variables, _ = live
+    qmodel, qvars = prepare_for_inference(model, variables, weights='int8')
+    clip = _clips(1, 2400, seed=11)[0]
+    ref = np.asarray(quantized_call(qmodel, qvars, jnp.asarray(clip[None]),
+                                    dtype=jnp.float32))[0]
+    with CodecServer(LiveCodec(qmodel, qvars), max_wait_ms=0.5) as server:
+        out = server.roundtrip(clip, timeout=300)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
 def test_server_artifact_backend(tmp_path, live):
     """The same server runs from a StableHLO artifact (DeployedCodec)."""
     model, variables, codec = live

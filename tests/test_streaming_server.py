@@ -112,6 +112,32 @@ def test_streaming_server_slot_lifecycle(model_vars):
         StreamingServer(model, variables, max_streams=1)
 
 
+def test_streaming_server_int8(model_vars):
+    """Int8 weight-only streaming through the multiplexer == the offline
+    model evaluated with host-dequantized weights (same f32 kernels)."""
+    from encodec_pytorch_tpu.prepare import (dequantize_weights,
+                                             prepare_for_inference)
+    model, variables = model_vars
+    qmodel, qvars = prepare_for_inference(model, variables, weights='int8')
+    deq_vars = dict(qvars, params=dequantize_weights(qvars['params']))
+
+    server = StreamingServer(qmodel, qvars, max_streams=2, chunk_hops=1,
+                             max_wait_ms=1.0)
+    first, hop = server.min_first_chunk_samples, server.chunk_samples
+    total = first + 3 * hop
+    sig = _signal(2, total)
+    offline = np.asarray(qmodel(deq_vars, jnp.asarray(sig[None])))[0]
+
+    with server:
+        with server.open_stream() as stream:
+            outs = [stream.process(sig[:, :first], timeout=300)]
+            for k in range(3):
+                a = first + k * hop
+                outs.append(stream.process(sig[:, a:a + hop], timeout=300))
+    np.testing.assert_allclose(np.concatenate(outs, axis=-1), offline,
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_streaming_server_reused_slot_state_is_fresh(model_vars):
     """A stream reusing a slot must not inherit the previous stream's
     carries: its output equals a fresh offline run."""
