@@ -31,8 +31,9 @@ def get_parser():
                         help='Clip lengths to export (each is one static-'
                              'shape entry; batch stays polymorphic).')
     parser.add_argument('--bandwidths', type=float, nargs='+', default=None,
-                        help='Bandwidths to export (default: all the model '
-                             'supports).')
+                        help='Bandwidths to export (default: the model\'s '
+                             'current bandwidth, else its highest — ONE '
+                             'entry set; list every bandwidth you serve).')
     parser.add_argument('--weights', default='raw', choices=['raw', 'fold'],
                         help="'fold' bakes folded weight-norm kernels "
                              '(bit-equal, fewer ops; weight_norm models '
@@ -57,12 +58,21 @@ def main(argv=None):
         print(f"{args.output} exists. Use -f to overwrite.", file=sys.stderr)
         sys.exit(1)
 
-    kwargs = {'checkpoint': args.checkpoint} if args.checkpoint else {}
-    try:
-        model, variables = MODELS[args.model_name](**kwargs)
-    except TypeError:
-        print(f"{args.model_name} needs a checkpoint: pass -c", file=sys.stderr)
-        sys.exit(1)
+    # mirror cli.py:141-153's loading rules: trainer-checkpoint factories
+    # take positional args; released factories return variables=None when
+    # no converted checkpoint is supplied (no network access for downloads)
+    if args.model_name in ('my_encodec', 'encodec_bw'):
+        if not args.checkpoint:
+            print(f"{args.model_name} requires -c/--checkpoint",
+                  file=sys.stderr)
+            sys.exit(1)
+        model, variables = MODELS[args.model_name](args.checkpoint)
+    else:
+        model, variables = MODELS[args.model_name](checkpoint=args.checkpoint)
+        if variables is None:
+            print(f"{args.model_name} needs converted weights: pass -c with "
+                  "the released torch checkpoint.", file=sys.stderr)
+            sys.exit(1)
 
     if args.weights == 'fold':
         from .prepare import fold_weight_norm

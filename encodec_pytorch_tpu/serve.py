@@ -52,11 +52,15 @@ class LiveCodec:
                  default_bandwidth: Optional[float] = None):
         self.model = model
         self.variables = variables
-        # snapshot: requests with bandwidth=None must not depend on what
-        # earlier requests set the (shared, mutable) model to
+        # snapshot a CONCRETE default: requests with bandwidth=None must not
+        # depend on what earlier requests set the (shared, mutable) model to
+        # — and a None default would trace with whatever bandwidth the last
+        # call left behind (model.bandwidth starts as None, models/model.py)
         self.default_bandwidth = (default_bandwidth
                                   if default_bandwidth is not None
-                                  else model.bandwidth)
+                                  else model.bandwidth
+                                  if model.bandwidth is not None
+                                  else model.target_bandwidths[-1])
         self._jitted: Dict[Tuple, Any] = {}
 
     def _fn(self, kind: str, bandwidth: Optional[float],
@@ -84,8 +88,7 @@ class LiveCodec:
             self._jitted[key] = fn
         # the model's bandwidth is read at TRACE time (it selects n_q);
         # set it for every call — jit traces lazily per input shape
-        if bw is not None:
-            self.model.set_target_bandwidth(bw)
+        self.model.set_target_bandwidth(bw)
         return fn
 
     def encode(self, x, bandwidth: Optional[float] = None):
@@ -106,7 +109,8 @@ class LiveCodec:
 
 
 class _Request:
-    __slots__ = ('kind', 'args', 'bandwidth', 'length', 'future', 't0')
+    __slots__ = ('kind', 'args', 'bandwidth', 'length', 'future', 't0',
+                 'batch_key')
 
     def __init__(self, kind, args, bandwidth, length):
         self.kind = kind
@@ -115,11 +119,10 @@ class _Request:
         self.length = length
         self.future: Future = Future()
         self.t0 = time.monotonic()
-
-    def batch_key(self):
-        leaves, treedef = jax.tree.flatten(self.args)
+        # computed once: _take_batch rescans the queue on every wakeup
+        leaves, treedef = jax.tree.flatten(args)
         shapes = tuple((np.shape(l), np.asarray(l).dtype.str) for l in leaves)
-        return (self.kind, self.bandwidth, self.length, treedef, shapes)
+        self.batch_key = (kind, bandwidth, length, treedef, shapes)
 
 
 class CodecServer:
@@ -233,14 +236,14 @@ class CodecServer:
             if self._stop and not self._queue:
                 return []
             head = self._queue.popleft()
-            key = head.batch_key()
+            key = head.batch_key
             batch = [head]
             deadline = time.monotonic() + self.max_wait
             while len(batch) < self.max_batch:
                 # pull every currently-queued compatible request
                 rest = []
                 for r in self._queue:
-                    if len(batch) < self.max_batch and r.batch_key() == key:
+                    if len(batch) < self.max_batch and r.batch_key == key:
                         batch.append(r)
                     else:
                         rest.append(r)
@@ -411,10 +414,11 @@ class StreamingServer:
         self._free = list(range(max_streams - 1, -1, -1))
         self._pending: Dict[int, Tuple[np.ndarray, Future, 'StreamSession']] \
             = {}
+        self._sessions: Dict[int, 'StreamSession'] = {}
         self._cv = threading.Condition()
         self._stop = False
         self._thread: Optional[threading.Thread] = None
-        self._stats = {'chunks': 0, 'ticks': 0, 'joins': 0}
+        self._stats = {'chunks': 0, 'ticks': 0, 'joins': 0, 'resets': 0}
 
     @property
     def min_first_chunk_samples(self) -> int:
@@ -434,6 +438,13 @@ class StreamingServer:
     def stop(self):
         with self._cv:
             self._stop = True
+            # fail chunks still waiting — their callers block on futures
+            # that no tick will ever serve
+            for _chunk, fut, _sess in self._pending.values():
+                if not fut.done():
+                    fut.set_exception(RuntimeError('streaming server '
+                                                   'stopped'))
+            self._pending.clear()
             self._cv.notify_all()
         if self._thread is not None:
             self._thread.join()
@@ -459,12 +470,19 @@ class StreamingServer:
                 raise RuntimeError(
                     f"all {self.max_streams} stream slots are in use")
             slot = self._free.pop()
-        return StreamSession(self, slot)
+            session = StreamSession(self, slot)
+            self._sessions[slot] = session
+        return session
 
     def _release(self, session: StreamSession):
         with self._cv:
-            self._pending.pop(session.slot, None)
-            self._free.append(session.slot)
+            dropped = self._pending.pop(session.slot, None)
+            if dropped is not None and not dropped[1].done():
+                dropped[1].set_exception(
+                    RuntimeError('stream closed with a chunk in flight'))
+            if self._sessions.get(session.slot) is session:
+                del self._sessions[session.slot]
+                self._free.append(session.slot)
 
     def _process(self, session: StreamSession, chunk: np.ndarray,
                  timeout: Optional[float]):
@@ -474,6 +492,8 @@ class StreamingServer:
                 f"samples, got {chunk.shape[-1]}")
         fut: Future = Future()
         with self._cv:
+            if self._stop:
+                raise RuntimeError('streaming server stopped')
             assert session.slot not in self._pending, \
                 'one in-flight chunk per stream (process() blocks)'
             self._pending[session.slot] = (chunk, fut, session)
@@ -528,6 +548,11 @@ class StreamingServer:
                 while not self._pending and not self._stop:
                     self._cv.wait(timeout=0.1)
                 if self._stop:
+                    for _c, fut, _s in self._pending.values():
+                        if not fut.done():
+                            fut.set_exception(
+                                RuntimeError('streaming server stopped'))
+                    self._pending.clear()
                     return
                 deadline = time.monotonic() + self.max_wait
                 # hold the tick open briefly for more streams' chunks
@@ -571,6 +596,26 @@ class StreamingServer:
                 for slot, (_c, fut, _s) in steady.items():
                     fut.set_result(wav[slot])
             except Exception as e:  # noqa: BLE001
+                # reset FIRST so callers waking on the error already see
+                # their session closed and the slot pool rebuilt
+                self._reset_after_failure(e)
                 for _c, fut, _s in steady.values():
                     if not fut.done():
                         fut.set_exception(e)
+
+    def _reset_after_failure(self, err: Exception):
+        """A failed mux call may have consumed the DONATED carry buffers,
+        so the old state is unusable. Recover the server: close every
+        active stream (their carries are lost — callers see the error and
+        must rejoin) and rebuild fresh slot state so new streams work."""
+        self._enc_state, self._dec_state = self.codec.init_state(
+            self.max_streams)
+        with self._cv:
+            for slot, sess in list(self._sessions.items()):
+                sess.closed = True
+                dropped = self._pending.pop(slot, None)
+                if dropped is not None and not dropped[1].done():
+                    dropped[1].set_exception(err)
+                del self._sessions[slot]
+                self._free.append(slot)
+            self._stats['resets'] += 1

@@ -148,6 +148,28 @@ def test_server_error_propagates(live):
         server.submit('stream', np.zeros((1, 10), np.float32))
 
 
+def test_live_codec_default_bandwidth_is_order_independent():
+    """A model that never had set_target_bandwidth called must serve a
+    deterministic default (highest bandwidth), not whatever a previous
+    request left on the shared mutable model."""
+    model = EncodecModel._get_model(
+        [1.5, 3.], 24000, 1, causal=True, model_norm='weight_norm',
+        audio_normalize=False, segment=None, name='encodec_24khz', n_q=4,
+        n_filters=4)
+    variables = model.init(jax.random.PRNGKey(0), example_length=2400)
+    variables['quantizer'] = variables['quantizer']._replace(
+        inited=jnp.ones_like(variables['quantizer'].inited))
+    assert model.bandwidth is None
+    codec = LiveCodec(model, variables)
+    assert codec.default_bandwidth == 3.
+
+    x = np.zeros((1, 1, 1200), np.float32)
+    k_before = codec.encode(x)[0].shape[-2]
+    codec.encode(x, bandwidth=1.5)          # mutates the shared model
+    k_after = codec.encode(np.zeros((2, 1, 1200), np.float32))[0].shape[-2]
+    assert k_before == k_after == 4         # n_q at 3 kbps, both times
+
+
 def test_server_int8_backend(live):
     """LiveCodec over int8 weight-only variables (in-program dequant) must
     match prepare.quantized_call's math through the server."""

@@ -112,6 +112,88 @@ def test_streaming_server_slot_lifecycle(model_vars):
         StreamingServer(model, variables, max_streams=1)
 
 
+def test_streaming_server_inflight_chunks_never_hang(model_vars):
+    """close() and stop() must resolve in-flight futures, not strand the
+    blocked caller."""
+    model, variables = model_vars
+    server = StreamingServer(model, variables, max_streams=2,
+                             chunk_hops=1, max_wait_ms=1.0)
+    first = server.min_first_chunk_samples
+    chunk = _signal(0, first)
+
+    # worker not started: process() blocks until close() fails the future
+    s = server.open_stream()
+    err = [None]
+
+    def call():
+        try:
+            s.process(chunk)
+        except RuntimeError as e:
+            err[0] = e
+    t = threading.Thread(target=call)
+    t.start()
+    import time
+    time.sleep(0.2)       # let the chunk land in _pending
+    s.close()
+    t.join(timeout=30)
+    assert not t.is_alive() and 'in flight' in str(err[0])
+
+    # stop() fails pending chunks and rejects new submissions
+    s2 = server.open_stream()
+    err2 = [None]
+
+    def call2():
+        try:
+            s2.process(chunk)
+        except RuntimeError as e:
+            err2[0] = e
+    t2 = threading.Thread(target=call2)
+    t2.start()
+    time.sleep(0.2)
+    server.stop()
+    t2.join(timeout=30)
+    assert not t2.is_alive() and 'stopped' in str(err2[0])
+    with pytest.raises(RuntimeError, match='stopped'):
+        s2.process(chunk)
+
+
+def test_streaming_server_recovers_after_step_failure(model_vars):
+    """A failed (donated-state) mux call must not brick the server: active
+    streams are closed with the error, fresh streams work after."""
+    model, variables = model_vars
+    server = StreamingServer(model, variables, max_streams=2,
+                             chunk_hops=1, max_wait_ms=1.0)
+    first, hop = server.min_first_chunk_samples, server.chunk_samples
+    sig = _signal(1, first + 2 * hop)
+
+    real_mux = server._mux
+    boom = {'armed': True}
+
+    def flaky(*a, **k):
+        if boom.pop('armed', False):
+            raise RuntimeError('injected device failure')
+        return real_mux(*a, **k)
+    server._mux = flaky
+
+    with server:
+        s = server.open_stream()
+        s.process(sig[:, :first], timeout=300)
+        with pytest.raises(RuntimeError, match='injected'):
+            s.process(sig[:, first:first + hop], timeout=300)
+        assert s.closed      # carries were donated — stream is dead
+        assert server.stats()['resets'] == 1
+
+        s2 = server.open_stream()   # fresh stream on rebuilt state works
+        offline = np.asarray(model(variables, jnp.asarray(sig[None])))[0]
+        outs = [s2.process(sig[:, :first], timeout=300)]
+        for k in range(2):
+            a = first + k * hop
+            outs.append(s2.process(sig[:, a:a + hop], timeout=300))
+        s2.close()
+    np.testing.assert_allclose(np.concatenate(outs, axis=-1), offline,
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_streaming_server_int8(model_vars):
     """Int8 weight-only streaming through the multiplexer == the offline
     model evaluated with host-dequantized weights (same f32 kernels)."""
