@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""On-chip validation of StableHLO deployment artifacts (deploy.py).
+
+Artifacts are exported with platforms=('cpu', 'tpu'); CI exercises the
+cpu leg — this script proves the tpu leg: export on the current backend,
+save/load through the zip, run encode/decode/roundtrip on the chip, and
+compare against the live jitted model.
+
+Usage: python scripts/check_deploy_tpu.py  (run where jax sees the TPU)
+"""
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    print(f'backend: {jax.default_backend()}', flush=True)
+    from encodec_pytorch_tpu import deploy
+    from encodec_pytorch_tpu.models.model import EncodecModel
+
+    model = EncodecModel._get_model(
+        [1.5, 3., 6., 12., 24.], 24_000, 1, causal=True,
+        model_norm='weight_norm', audio_normalize=False,
+        name='encodec_24khz')
+    variables = model.init(jax.random.PRNGKey(0), example_length=24_000)
+    variables['quantizer'] = variables['quantizer']._replace(
+        inited=jnp.ones_like(variables['quantizer'].inited),
+        embed=jax.random.normal(jax.random.PRNGKey(1),
+                                variables['quantizer'].embed.shape))
+    model.set_target_bandwidth(6.)
+
+    T = 48_000
+    with tempfile.TemporaryDirectory() as d:
+        path = Path(d) / 'codec.ecdz'
+        meta = deploy.save_artifact(path, model, variables, lengths=[T],
+                                    bandwidths=[6.])
+        print(f'artifact: {path.stat().st_size / 1e6:.1f} MB, '
+              f'{len(meta["entries"])} entries', flush=True)
+        codec = deploy.DeployedCodec.load(path)
+
+        x = np.asarray(jax.random.normal(jax.random.PRNGKey(2),
+                                         (2, 1, T))) * 0.1
+        live = np.asarray(jax.jit(lambda v, x: model(v, x))(variables,
+                                                            jnp.asarray(x)))
+        rt = np.asarray(codec.roundtrip(x, bandwidth=6.))
+        codes = codec.encode(x, bandwidth=6.)
+        ref_codes = model.encode(variables, jnp.asarray(x))[0][0]
+        dec = np.asarray(codec.decode(codes, bandwidth=6., length=T))
+
+        d_rt = float(np.max(np.abs(rt - live)))
+        d_dec = float(np.max(np.abs(dec - live)))
+        codes_eq = bool(jnp.all(codes[0] == ref_codes))
+        print(f'max|roundtrip-live|={d_rt:.2e}  max|decode-live|={d_dec:.2e}'
+              f'  codes_exact={codes_eq}', flush=True)
+        ok = d_rt < 1e-5 and d_dec < 1e-5 and codes_eq
+        print('DEPLOY_TPU_OK' if ok else 'DEPLOY_TPU_MISMATCH', flush=True)
+        return 0 if ok else 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())
