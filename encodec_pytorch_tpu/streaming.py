@@ -87,6 +87,9 @@ class BlockSpec:
     kernel_sizes: Tuple[int, ...]
     dilations: Tuple[int, ...]
     true_skip: bool
+    # in-block activation mirrors SEANetResnetBlock (models/seanet.py:55)
+    activation: str = 'ELU'
+    activation_params: Any = None
 
     def convs(self) -> List[ConvSpec]:
         out = []
@@ -184,34 +187,42 @@ def _stream_convtr(p, spec: ConvTrSpec, carry, x, dtype):
 
 
 def _stream_lstm(p, spec: LstmSpec, carry, x, dtype):
-    """SLSTM with explicit (h, c) carry: [L, B, H] each."""
+    """SLSTM with explicit (h, c) carry: [L, B, H] each.
+
+    Always computes in f32 regardless of the pipeline dtype, mirroring the
+    offline SLSTM (ops/lstm.py:100-122): the carried cell state compounds
+    bf16 rounding across chunks, so bf16 operands here would make streaming
+    drift away from the offline model. ``dtype`` is accepted for interface
+    uniformity with the conv ops and applied only to the output cast.
+    """
+    in_dtype = x.dtype
     hs, cs = carry
-    y = x
+    x32 = x.astype(jnp.float32)
+    y = x32
     new_h, new_c = [], []
     for layer in range(spec.num_layers):
-        w_ih = p[f'w_ih_l{layer}']
-        w_hh = p[f'w_hh_l{layer}']
-        b = p[f'b_l{layer}']
-        x_proj = jnp.dot(y.astype(dtype), w_ih.astype(dtype),
-                         preferred_element_type=jnp.float32) + b
+        w_ih = p[f'w_ih_l{layer}'].astype(jnp.float32)
+        w_hh = p[f'w_hh_l{layer}'].astype(jnp.float32)
+        b = p[f'b_l{layer}'].astype(jnp.float32)
+        x_proj = jnp.dot(y, w_ih) + b
 
         def step(hc, xp_t):
             h, c = hc
-            gates = xp_t + jnp.dot(h.astype(dtype), w_hh.astype(dtype),
-                                   preferred_element_type=jnp.float32)
+            gates = xp_t + jnp.dot(h, w_hh)
             i, f, g, o = jnp.split(gates, 4, axis=-1)
             c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
             h = jax.nn.sigmoid(o) * jnp.tanh(c)
             return (h, c), h
 
-        (h, c), ys = jax.lax.scan(step, (hs[layer], cs[layer]),
+        (h, c), ys = jax.lax.scan(step, (hs[layer].astype(jnp.float32),
+                                         cs[layer].astype(jnp.float32)),
                                   jnp.swapaxes(x_proj, 0, 1))
         y = jnp.swapaxes(ys, 0, 1)
         new_h.append(h)
         new_c.append(c)
     if spec.skip:
-        y = y + x
-    return y, (jnp.stack(new_h), jnp.stack(new_c))
+        y = y + x32
+    return y.astype(in_dtype), (jnp.stack(new_h), jnp.stack(new_c))
 
 
 # ------------------------------------------------------------ op sequences
@@ -229,7 +240,8 @@ def _encoder_ops(enc: SEANetEncoder) -> List[Any]:
             dim = mult * nf
             ops.append(BlockSpec(f'layer_{idx}', dim, dim // enc.compress,
                                  (enc.residual_kernel_size, 1),
-                                 (enc.dilation_base ** j, 1), enc.true_skip))
+                                 (enc.dilation_base ** j, 1), enc.true_skip,
+                                 enc.activation, enc.activation_params))
             idx += 1
         ops.append(ActSpec(enc.activation, enc.activation_params))
         idx += 1
@@ -268,7 +280,8 @@ def _decoder_ops(dec: SEANetDecoder) -> List[Any]:
             dim = mult * nf // 2
             ops.append(BlockSpec(f'layer_{idx}', dim, dim // dec.compress,
                                  (dec.residual_kernel_size, 1),
-                                 (dec.dilation_base ** j, 1), dec.true_skip))
+                                 (dec.dilation_base ** j, 1), dec.true_skip,
+                                 dec.activation, dec.activation_params))
             idx += 1
         mult //= 2
     ops.append(ActSpec(dec.activation, dec.activation_params))
@@ -297,7 +310,7 @@ class StreamingSEANet:
             assert isinstance(module, SEANetDecoder)
             assert module.trim_right_ratio == 1.0, \
                 'streaming decoder requires trim_right_ratio == 1'
-            assert module.final_activation is None or True  # stateless either way
+            # final_activation is stateless — applied verbatim in apply()
             self.ops = _decoder_ops(module)
         self.module = module
         self.dtype = module.dtype
@@ -361,7 +374,8 @@ class StreamingSEANet:
                     params[op.name], op, state[op.name], x, self.dtype)
             elif isinstance(op, BlockSpec):
                 p = params[op.name]
-                act = _act('ELU', {'alpha': 1.0})
+                act = _act(op.activation, op.activation_params
+                           or {'alpha': 1.0})
                 bstate = dict(state[op.name])
                 y = x
                 for c in op.convs():

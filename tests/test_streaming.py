@@ -128,6 +128,72 @@ def test_streaming_codec_end_to_end():
                                atol=2e-5, rtol=1e-5)
 
 
+def test_streaming_encoder_non_default_activation():
+    """In-block activations must follow the module's configuration, not a
+    hardcoded ELU (regression: BlockSpec ignored activation/params)."""
+    from encodec_pytorch_tpu.models.seanet import SEANetEncoder
+    enc_mod = SEANetEncoder(channels=1, norm='weight_norm', causal=True,
+                            n_filters=8, activation='LeakyReLU',
+                            activation_params={'negative_slope': 0.2})
+    hop = enc_mod.hop_length
+    T = hop * 20
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, T, 1)) * 0.3
+    params = enc_mod.init(jax.random.PRNGKey(0), x)['params']
+    offline = enc_mod.apply({'params': params}, x)
+
+    enc = StreamingSEANet(enc_mod)
+    state = enc.init_state(1)
+    outs, pos = [], 0
+    first = enc.min_first_chunk + (-enc.min_first_chunk) % hop
+    for i, n in enumerate(_chunks(T, first, hop)):
+        y, state = enc.apply(params, state, x[:, pos:pos + n], first=(i == 0))
+        outs.append(y)
+        pos += n
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(outs, axis=1)),
+                               np.asarray(offline), atol=2e-5, rtol=1e-5)
+
+
+def test_streaming_codec_bf16_matches_offline():
+    """bf16 models: the LSTM must compute in f32 exactly like the offline
+    SLSTM (regression: bf16 gate operands made carried state drift)."""
+    model = EncodecModel._get_model(
+        [1.5, 3., 6.], 24_000, 1, causal=True, model_norm='weight_norm',
+        audio_normalize=False, segment=None, n_q=4, n_filters=8,
+        dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), example_length=2400)
+    variables['quantizer'] = variables['quantizer']._replace(
+        inited=jnp.ones_like(variables['quantizer'].inited),
+        embed=jax.random.normal(jax.random.PRNGKey(1),
+                                variables['quantizer'].embed.shape))
+    model.set_target_bandwidth(3.)
+
+    codec = StreamingCodec(model)
+    hop = codec.hop
+    T = hop * 48  # long enough for carried-state drift to show
+    wav = (0.5 * jnp.sin(jnp.arange(T) / 24000.0 * 2 * np.pi * 313)
+           ).reshape(1, 1, T).astype(jnp.float32)
+
+    frames = model.encode(variables, wav)
+    offline_codes = frames[0][0]
+    offline_wav = model.decode(variables, frames)[:, :, :T]
+
+    enc_state, dec_state = codec.init_state(1)
+    codes_chunks, wav_chunks, pos = [], [], 0
+    for i, n in enumerate(_chunks(T, codec.min_first_chunk_samples, hop)):
+        out, codes, enc_state, dec_state = codec.roundtrip_chunk(
+            variables, enc_state, dec_state, wav[:, :, pos:pos + n],
+            first=(i == 0))
+        codes_chunks.append(codes)
+        wav_chunks.append(out)
+        pos += n
+    np.testing.assert_array_equal(
+        np.asarray(jnp.concatenate(codes_chunks, axis=2)),
+        np.asarray(offline_codes))
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(wav_chunks, axis=2), np.float32),
+        np.asarray(offline_wav, np.float32), atol=2e-2, rtol=2e-2)
+
+
 def test_streaming_fused_roundtrip_matches_two_call():
     """roundtrip_chunk (one jitted program, donated state) is numerically
     identical to encode_chunk → decode_chunk, chunk by chunk."""
