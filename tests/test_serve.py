@@ -135,6 +135,56 @@ def test_server_concurrent_threads(live):
     assert s['batches'] < 12  # some coalescing must have happened
 
 
+def test_server_randomized_concurrency_fuzz(live):
+    """Randomized mixed workload: N threads, random kind/length/bandwidth
+    per request — every result must equal its direct single-call value
+    regardless of how the batcher grouped them."""
+    import random
+    _, _, codec = live
+    rng = random.Random(42)
+    lengths = [1200, 2400]
+    bandwidths = [1.5, 3.0]
+    jobs = []
+    for i in range(20):
+        kind = rng.choice(['roundtrip', 'encode'])
+        t = rng.choice(lengths)
+        bw = rng.choice(bandwidths)
+        clip = _clips(1, t, seed=100 + i)[0]
+        jobs.append((kind, clip, bw))
+
+    direct = []
+    for kind, clip, bw in jobs:
+        if kind == 'roundtrip':
+            direct.append(np.asarray(codec.roundtrip(clip[None],
+                                                     bandwidth=bw))[0])
+        else:
+            direct.append(np.asarray(codec.encode(clip[None],
+                                                  bandwidth=bw)[0])[0])
+
+    results = [None] * len(jobs)
+    with CodecServer(codec, max_batch=4, max_wait_ms=10.0) as server:
+        def call(i):
+            kind, clip, bw = jobs[i]
+            if kind == 'roundtrip':
+                results[i] = server.roundtrip(clip, bandwidth=bw,
+                                              timeout=300)
+            else:
+                results[i] = server.encode(clip, bandwidth=bw,
+                                           timeout=300)[0]
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(len(jobs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    for (kind, _c, _b), out, ref in zip(jobs, results, direct):
+        if kind == 'encode':
+            np.testing.assert_array_equal(out, ref)
+        else:
+            np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
 def test_server_error_propagates(live):
     _, _, codec = live
     with CodecServer(codec, max_wait_ms=0.5) as server:
