@@ -698,6 +698,7 @@ class StreamingLmEncoder:
         self._cap = bits_capacity(K)
         self._rem = np.zeros((0,), np.uint8)   # bit remainder (< 8 bits)
         self._flush_fn = jax.jit(ac_encode_flush)
+        self._finished = False
 
     def _emit(self, new_bits: np.ndarray) -> bytes:
         bits = np.concatenate([self._rem, new_bits.astype(np.uint8)])
@@ -707,6 +708,9 @@ class StreamingLmEncoder:
 
     def push_frame(self, codes_t: np.ndarray) -> bytes:
         """codes_t [K] -> zero or more wire bytes."""
+        if self._finished:
+            raise RuntimeError('push_frame after flush(): flush emits the '
+                               'final coder state and ends the stream')
         assert codes_t.shape == (self._K,)
         carry, _, _, bits_out, n = self._fn(
             jnp.asarray(True), self._carry,
@@ -716,7 +720,13 @@ class StreamingLmEncoder:
         return self._emit(np.asarray(bits_out[: int(n)]))
 
     def flush(self) -> bytes:
-        """Final flush: remaining AC state bits, zero-padded to a byte."""
+        """Final flush: remaining AC state bits, zero-padded to a byte.
+        TERMINAL — the emitted state bits are not consumed from the coder,
+        so further pushes/flushes would interleave duplicate state bits
+        and desynchronize the decoder; they raise instead."""
+        if self._finished:
+            raise RuntimeError('flush() called twice: the stream is ended')
+        self._finished = True
         buf = jnp.zeros((128,), jnp.int8)
         ac = self._carry.ac._replace(bit_pos=jnp.int32(0))
         n, bits = self._flush_fn(ac, buf)

@@ -235,6 +235,10 @@ class NormConv2d(nn.Module):
                  and self.out_channels >= 32
                  and (kh - 1) * self.dilation[0] >= ph)
         if v2_ok:
+            # the packed taps must also fit the kernel's padded tap axis
+            from .pallas_conv2d_v2 import taps_fit
+            v2_ok = taps_fit(self.fpack, self.stride[1], kw)
+        if v2_ok:
             from .pallas_conv2d_v2 import conv2d_v2_op
             y = conv2d_v2_op(
                 x.astype(self.dtype), kernel.astype(self.dtype),

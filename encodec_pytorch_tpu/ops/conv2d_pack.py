@@ -123,6 +123,20 @@ def conv2d_fpack_dx(g: jnp.ndarray, kernel: jnp.ndarray,
     Requires time-stride 1, no F dilation, and ``(kh−1)·dt ≥ ph`` (true for
     every disc conv). Exact up to fp reduction order.
     """
+    return dx_geometry(_conv2d_fpack_raw, g, kernel, stride, dilation,
+                       padding, x_shape, phases,
+                       preferred_element_type=preferred_element_type)
+
+
+def dx_geometry(conv_fn, g, kernel, stride, dilation, padding, x_shape,
+                phases, **conv_kwargs):
+    """The dx bookkeeping shared by every backend (XLA fpack here, the
+    Pallas v2 kernel in pallas_conv2d_v2.py): pad the cotangent, run ONE
+    stride-1 conv with the combined ``[kh, ceil(kw/sf), Cout, sf*Cin]``
+    kernel, unpack the sf phase lanes back onto the F axis. Keeping this
+    in one place means a fix to the geometry (row count M, the
+    (w0−1, M−w_out) padding, eligibility asserts) applies to every
+    backward path at once."""
     st, sf = stride
     dt, df = dilation
     assert st == 1 and df == 1
@@ -136,8 +150,8 @@ def conv2d_fpack_dx(g: jnp.ndarray, kernel: jnp.ndarray,
     kc = _dx_combined_kernel(kernel, sf)
     M = (W + 2 * pw - 1) // sf + 1        # dxpad phase-rows needed
     gp = jnp.pad(g, ((0, 0), (0, 0), (w0 - 1, max(0, M - w_out)), (0, 0)))
-    d = _conv2d_fpack_raw(gp, kc, (1, 1), (dt, 1), (pt, 0), phases=phases,
-                          preferred_element_type=preferred_element_type)
+    d = conv_fn(gp, kc, (1, 1), (dt, 1), (pt, 0), phases=phases,
+                **conv_kwargs)
     d = d[:, :, :M]
     d = d.reshape(B, H, M, sf, cin).reshape(B, H, M * sf, cin)
     return d[:, :, pw:pw + W]
@@ -214,7 +228,15 @@ def conv2d_fpack(x: jnp.ndarray, kernel: jnp.ndarray,
     eligible = _custom_dx_eligible(stride, dilation, padding, kh)
     if custom_dx is None:
         custom_dx = eligible
-    if custom_dx and eligible:
+    elif custom_dx and not eligible:
+        # a forced custom dx must be loud, not silently downgraded —
+        # benchmarks/bisections would otherwise attribute results to the
+        # wrong backward implementation
+        raise ValueError(
+            f'custom_dx=True forced on an ineligible layer (stride={stride},'
+            f' dilation={dilation}, padding={padding}, kh={kh}); the '
+            'phase-packed dx needs stride[0]==1 and (kh-1)*dil[0] >= pad[0]')
+    if custom_dx:
         return _conv2d_fpack_cdx(x, kernel, stride, dilation, padding,
                                  phases, preferred_element_type)
     return _conv2d_fpack_raw(x, kernel, stride, dilation, padding, phases,

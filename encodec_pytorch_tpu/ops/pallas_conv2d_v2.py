@@ -55,6 +55,14 @@ def available() -> bool:
 # host-side packing
 
 
+def taps_fit(phases: int, stride_f: int, kf: int) -> bool:
+    """Eligibility bound callers must gate on: the packed taps
+    ``(phases-1)*stride_f + kf`` must fit the padded tap axis ``N_MF``
+    (pack_weights asserts this; an ineligible config should fall back to
+    the XLA fpack path instead of tripping the assert)."""
+    return (phases - 1) * stride_f + kf <= N_MF
+
+
 def pack_weights(w: jnp.ndarray, sf: int, phases: int) -> jnp.ndarray:
     """``[kt, kf, Cin, Cout]`` → ``[phases*Cout, kt*N_MF*Cin]`` with
     ``wk[p*Cout+co, (mt*N_MF + p*sf + kfi)*Cin + ci] = w[mt, kfi, ci, co]``.
@@ -249,26 +257,9 @@ def conv2d_v2_dx(g: jnp.ndarray, kernel: jnp.ndarray,
     swapped for ``conv2d_v2``. Same eligibility: T-stride 1, no F dilation,
     ``(kh-1)*dt >= ph``.
     """
-    from .conv2d_pack import _dx_combined_kernel
-
-    st, sf = stride
-    dt, df = dilation
-    assert st == 1 and df == 1
-    ph, pw = padding
-    kh, kw, cin, cout = kernel.shape
-    B, H, W, _ = x_shape
-    w_out = (W + 2 * pw - kw) // sf + 1
-    w0 = -(-kw // sf)
-    pt = (kh - 1) * dt - ph
-    assert pt >= 0, 'dx formulation needs (kh-1)*dt >= ph'
-    kc = _dx_combined_kernel(kernel, sf)
-    M = (W + 2 * pw - 1) // sf + 1
-    gp = jnp.pad(g, ((0, 0), (0, 0), (w0 - 1, max(0, M - w_out)), (0, 0)))
-    d = conv2d_v2(gp, kc, (1, 1), (dt, 1), (pt, 0), phases=phases,
-                  interpret=interpret)
-    d = d[:, :, :M]
-    d = d.reshape(B, H, M, sf, cin).reshape(B, H, M * sf, cin)
-    return d[:, :, pw:pw + W]
+    from .conv2d_pack import dx_geometry
+    return dx_geometry(conv2d_v2, g, kernel, stride, dilation, padding,
+                       x_shape, phases, interpret=interpret)
 
 
 def conv2d_v2(x: jnp.ndarray, w: jnp.ndarray, stride: Tuple[int, int],

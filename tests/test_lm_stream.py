@@ -127,3 +127,18 @@ def test_streaming_through_codec_codes(lm_and_codes):
     got = [dec.pull_frame() for _ in range(len(sent))]
     assert all(g is not None for g in got)
     np.testing.assert_array_equal(np.stack(got), np.stack(sent))
+
+
+def test_flush_is_terminal(lm_and_codes):
+    """flush() emits the final AC state without consuming it — a second
+    flush or a push afterwards would interleave duplicate state bits and
+    desynchronize the decoder, so both must raise."""
+    lm_def, params, codes = lm_and_codes
+    K = codes.shape[0]
+    enc = StreamingLmEncoder(lm_def, params, K)
+    enc.push_frame(codes[:, 0])
+    enc.flush()
+    with pytest.raises(RuntimeError, match='twice'):
+        enc.flush()
+    with pytest.raises(RuntimeError, match='after flush'):
+        enc.push_frame(codes[:, 1])

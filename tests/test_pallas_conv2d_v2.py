@@ -125,3 +125,24 @@ def test_disc_pallas_v2_matches_fpack():
             np.asarray(flat_g[path]), np.asarray(leaf),
             rtol=1e-4, atol=1e-5,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_v2_taps_overflow_falls_back_to_fpack():
+    """fpack large enough that (P-1)*sf + kf > N_MF must route to the XLA
+    fpack path instead of tripping pack_weights' assert (the gate in
+    ops/conv.py must include taps_fit)."""
+    from encodec_pytorch_tpu.ops.conv import NormConv2d
+    from encodec_pytorch_tpu.ops.pallas_conv2d_v2 import N_MF, taps_fit
+
+    assert not taps_fit(8, 2, 9)       # (8-1)*2+9 = 23 > 16
+    assert taps_fit(4, 2, 9)           # (4-1)*2+9 = 15 <= 16
+
+    conv = NormConv2d(in_channels=32, out_channels=32, kernel_size=(3, 9),
+                      stride=(1, 2), padding=(1, 4), norm='weight_norm',
+                      fpack=8, pallas_v2=True)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(1, 8, 64, 32).astype(np.float32))
+    params = conv.init(jax.random.PRNGKey(0), x)
+    y = conv.apply(params, x)          # would AssertionError without the gate
+    assert y.shape[0] == 1 and y.shape[-1] == 32
+    del N_MF
