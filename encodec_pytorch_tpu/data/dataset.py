@@ -71,13 +71,19 @@ class CustomAudioDataset:
         returns the waveform uncropped when tensor_cut == 0 (fixing the
         reference's fall-through returning None)."""
         while True:
+            # indices are precomputed per epoch, so a mid-epoch drop leaves
+            # stale out-of-range indices behind — re-wrap instead of crashing
+            idx = idx % len(self.audio_files)
+            path = self.audio_files.iloc[idx, 0]
             try:
                 wav = self._load(idx)
                 break
             except Exception as exc:  # drop unreadable file, retry another
-                logger.warning("dropping unreadable file %s (%s)",
-                               self.audio_files.iloc[idx, 0], exc)
+                logger.warning("dropping unreadable file %s (%s)", path, exc)
                 self.audio_files = self.audio_files.drop(idx).reset_index(drop=True)
+                if not len(self.audio_files):
+                    raise RuntimeError('every file in the dataset failed to '
+                                       'load') from exc
                 idx = self.rng.randrange(len(self.audio_files))
         if self.tensor_cut > 0 and wav.shape[1] > self.tensor_cut:
             start = self.rng.randrange(0, wav.shape[1] - self.tensor_cut)

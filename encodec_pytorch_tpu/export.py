@@ -67,49 +67,42 @@ def conv2d_weight_to_torch(w) -> np.ndarray:
 
 # ------------------------------------------------------------ SEANet modules
 
-def _emit_norm_conv1d(sd: Dict[str, np.ndarray], prefix: str, tree: Dict):
-    """Our NormConv1d subtree → torch SConv1d keys under ``{prefix}``
-    (``{prefix}.conv.weight[_v/_g]/bias`` + ``{prefix}.norm.*``)."""
-    known = {'v', 'g', 'kernel', 'bias', 'GroupNorm_0'}
-    unknown = set(tree) - known
-    if unknown:
-        raise ValueError(f'cannot export conv leaves {sorted(unknown)} at '
-                         f'{prefix} (only weight_norm / plain / '
-                         f'time_group_norm flavors map to reference keys)')
-    if 'v' in tree:
-        sd[f'{prefix}.conv.weight_g'] = _np(tree['g']).reshape(-1, 1, 1)
-        sd[f'{prefix}.conv.weight_v'] = conv1d_weight_to_torch(tree['v'])
-    if 'kernel' in tree:
-        sd[f'{prefix}.conv.weight'] = conv1d_weight_to_torch(tree['kernel'])
-    if 'bias' in tree:
-        sd[f'{prefix}.conv.bias'] = _np(tree['bias'])
-    if 'GroupNorm_0' in tree:
-        sd[f'{prefix}.norm.weight'] = _np(tree['GroupNorm_0']['scale'])
-        sd[f'{prefix}.norm.bias'] = _np(tree['GroupNorm_0']['bias'])
+def _emit_wn_conv(sd: Dict[str, np.ndarray], prefix: str, tree: Dict,
+                  sub: str, to_torch):
+    """Shared emitter for both conv flavors: our Norm(Conv/ConvTranspose)1d
+    subtree → torch keys under ``{prefix}.{sub}`` (+ ``{prefix}.norm.*``).
 
-
-def _emit_convtr(sd: Dict[str, np.ndarray], prefix: str, tree: Dict):
-    """Our SConvTranspose1d layer subtree → torch keys under ``{prefix}``
-    (``{prefix}.convtr.weight[_v/_g]/bias`` + ``{prefix}.norm.*``).
-
-    torch ``weight_norm(dim=0)`` on the ``[in, out, k]`` transposed-conv
-    weight norms per *input* channel — our ``g`` is stored ``[1, 1, in]``.
+    ``sub``/``to_torch``: ('conv', conv1d_weight_to_torch) for SConv1d,
+    ('convtr', convtr1d_weight_to_torch) for SConvTranspose1d. The
+    ``g.reshape(-1, 1, 1)`` covers both: torch ``weight_norm(dim=0)``
+    norms Conv1d per output channel and the ``[in, out, k]``
+    transposed-conv weight per *input* channel — in each case the leading
+    axis of the torch weight, and our ``g`` holds exactly those values.
     """
     known = {'v', 'g', 'kernel', 'bias', 'GroupNorm_0'}
     unknown = set(tree) - known
     if unknown:
-        raise ValueError(f'cannot export convtr leaves {sorted(unknown)} at '
-                         f'{prefix}')
+        raise ValueError(f'cannot export {sub} leaves {sorted(unknown)} at '
+                         f'{prefix} (only weight_norm / plain / '
+                         f'time_group_norm flavors map to reference keys)')
     if 'v' in tree:
-        sd[f'{prefix}.convtr.weight_g'] = _np(tree['g']).reshape(-1, 1, 1)
-        sd[f'{prefix}.convtr.weight_v'] = convtr1d_weight_to_torch(tree['v'])
+        sd[f'{prefix}.{sub}.weight_g'] = _np(tree['g']).reshape(-1, 1, 1)
+        sd[f'{prefix}.{sub}.weight_v'] = to_torch(tree['v'])
     if 'kernel' in tree:
-        sd[f'{prefix}.convtr.weight'] = convtr1d_weight_to_torch(tree['kernel'])
+        sd[f'{prefix}.{sub}.weight'] = to_torch(tree['kernel'])
     if 'bias' in tree:
-        sd[f'{prefix}.convtr.bias'] = _np(tree['bias'])
+        sd[f'{prefix}.{sub}.bias'] = _np(tree['bias'])
     if 'GroupNorm_0' in tree:
         sd[f'{prefix}.norm.weight'] = _np(tree['GroupNorm_0']['scale'])
         sd[f'{prefix}.norm.bias'] = _np(tree['GroupNorm_0']['bias'])
+
+
+def _emit_norm_conv1d(sd: Dict[str, np.ndarray], prefix: str, tree: Dict):
+    _emit_wn_conv(sd, prefix, tree, 'conv', conv1d_weight_to_torch)
+
+
+def _emit_convtr(sd: Dict[str, np.ndarray], prefix: str, tree: Dict):
+    _emit_wn_conv(sd, prefix, tree, 'convtr', convtr1d_weight_to_torch)
 
 
 def _emit_lstm(sd: Dict[str, np.ndarray], prefix: str, tree: Dict):

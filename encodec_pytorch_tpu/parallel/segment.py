@@ -79,7 +79,11 @@ def encode_parallel(model, variables, x: jnp.ndarray,
     frames: List = []
     if full:
         segs = jnp.stack([x[:, :, o:o + segment_length] for o in full], 0)
-        if mesh is not None and segs.shape[0] % mesh.devices.size == 0:
+        # gate on the DATA axis size: batch_sharding shards dim 0 over
+        # 'data' only, so extra mesh axes (tp) must not disqualify a
+        # shardable segment count
+        data_sz = mesh.shape.get('data') if mesh is not None else None
+        if data_sz and segs.shape[0] % data_sz == 0:
             segs = jax.device_put(segs, batch_sharding(mesh))
             variables = jax.device_put(variables, replicated_sharding(mesh))
         enc_fn, _ = _get_jitted(model, n_q)
@@ -106,7 +110,8 @@ def decode_parallel(model, variables, frames, mesh=None) -> jnp.ndarray:
     scales = None
     if frames[0][1] is not None:
         scales = jnp.stack([f[1] for f in frames[:n_full]], 0)
-    if mesh is not None and stacked.shape[0] % mesh.devices.size == 0:
+    data_sz = mesh.shape.get('data') if mesh is not None else None
+    if data_sz and stacked.shape[0] % data_sz == 0:
         stacked = jax.device_put(stacked, batch_sharding(mesh))
         variables = jax.device_put(variables, replicated_sharding(mesh))
     wavs = dec_fn(variables, stacked, scales)

@@ -44,8 +44,16 @@ def lm_loss(lm: LMModel, params, codes: jnp.ndarray) -> jnp.ndarray:
     return -jnp.mean(jnp.sum(logp * tgt, axis=1))
 
 
+def _make_opt():
+    """THE optimizer — built in one place so the state created by
+    init_lm_state and the transform applied by the train step can never
+    drift apart (same pytree structure would hide a hyperparameter
+    mismatch)."""
+    return optax.adam(learning_rate=1.0, b1=0.9, b2=0.98, eps=1e-9)
+
+
 def build_lm_train_step(lm: LMModel, schedule):
-    opt = optax.adam(learning_rate=1.0, b1=0.9, b2=0.98, eps=1e-9)
+    opt = _make_opt()
 
     def step_fn(state: LMTrainState, codes: jnp.ndarray
                 ) -> Tuple[LMTrainState, Dict[str, jnp.ndarray]]:
@@ -65,8 +73,7 @@ def init_lm_state(lm: LMModel, key: jax.Array, example_t: int = 16
                   ) -> LMTrainState:
     dummy = jnp.zeros((1, lm.n_q, example_t), jnp.int32)
     params = lm.init(key, dummy)['params']
-    opt = optax.adam(learning_rate=1.0, b1=0.9, b2=0.98, eps=1e-9)
-    return LMTrainState(params=params, opt=opt.init(params),
+    return LMTrainState(params=params, opt=_make_opt().init(params),
                         step=jnp.zeros((), jnp.int32))
 
 
@@ -123,9 +130,19 @@ class LMTrainer:
                              donate_argnums=(0,))
 
     def codes_for(self, wav_batch: np.ndarray) -> jnp.ndarray:
+        """[B, C, T] wav → [F·B, K, Tf] codes. Segmented codecs yield one
+        frame per window; each is its own LM training sequence (segments
+        overlap, so concatenating them along time would stitch together
+        audio the LM never sees contiguously at compress time). The last
+        (ragged) frame is dropped only if its length differs."""
         frames = self.codec.encode(self.codec_variables,
                                    jnp.asarray(wav_batch))
-        return jnp.asarray(frames[0][0], jnp.int32)   # [B, K, T]
+        tf0 = frames[0][0].shape[-1]
+        codes = [c for c, _ in frames if c.shape[-1] == tf0]
+        if len(codes) < len(frames):
+            logger.debug('dropping %d ragged tail frame(s) from LM batch',
+                         len(frames) - len(codes))
+        return jnp.asarray(jnp.concatenate(codes, axis=0), jnp.int32)
 
     def train_epoch(self, loader, epoch: int, log_interval: int = 50):
         t0 = time.time()

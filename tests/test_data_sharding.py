@@ -131,3 +131,48 @@ def test_loader_prefetch_thread_exits_on_abandoned_iteration():
             break
         time.sleep(0.05)
     assert not leaked, f'prefetch worker leaked: {leaked}'
+
+
+def test_dataset_drop_unreadable_survives_stale_indices(tmp_path):
+    """A corrupt file dropped mid-epoch shrinks the live dataset; a stale
+    precomputed index beyond the new length must re-wrap and load instead
+    of crashing the prefetch worker (regression: the retry handler itself
+    raised IndexError). All files failing must raise a clear error."""
+    from types import SimpleNamespace
+    from scipy.io import wavfile
+
+    from encodec_pytorch_tpu.data.dataset import CustomAudioDataset
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f'ok{i}.wav'
+        wavfile.write(p, 24000,
+                      (np.sin(np.arange(2400) * (i + 1) / 500.0)
+                       * 32767 * 0.2).astype(np.int16))
+        paths.append(str(p))
+    corrupt = tmp_path / 'bad.wav'
+    corrupt.write_bytes(b'not a wav at all')
+    paths.append(str(corrupt))
+
+    csv = tmp_path / 'train.csv'
+    csv.write_text('\n'.join(paths) + '\n')
+    config = SimpleNamespace(
+        datasets=SimpleNamespace(train_csv_path=str(csv),
+                                 test_csv_path=str(csv),
+                                 tensor_cut=0, fixed_length=0),
+        model=SimpleNamespace(sample_rate=24000, channels=1))
+    ds = CustomAudioDataset(config, mode='train')
+    assert len(ds) == 4
+
+    wav = ds[3]                   # the corrupt file: drop + retry another
+    assert wav.shape[0] == 1 and len(ds) == 3
+    wav = ds[3]                   # stale out-of-range index: re-wrap, load
+    assert wav.shape[0] == 1
+
+    all_bad = tmp_path / 'allbad.csv'
+    all_bad.write_text(str(corrupt) + '\n')
+    config.datasets.train_csv_path = str(all_bad)
+    ds2 = CustomAudioDataset(config, mode='train')
+    import pytest
+    with pytest.raises(RuntimeError, match='every file'):
+        ds2[0]
