@@ -74,7 +74,12 @@ class EncodecModel:
         # fused Pallas nearest-code search on TPU, XLA scan elsewhere
         from ..ops import pallas_vq
         bins, dim = state.embed.shape[1], state.embed.shape[2]
-        if pallas_vq.available() and bins % 128 == 0 and dim % 128 == 0:
+        # concrete-shape guard: under jax.export shape polymorphism the
+        # batch dim is symbolic and Pallas calls cannot serialize — take
+        # the XLA scan path there (see tests/test_deploy.py)
+        concrete = all(isinstance(d, int) for d in emb.shape)
+        if (concrete and pallas_vq.available()
+                and bins % 128 == 0 and dim % 128 == 0):
             return pallas_vq.rvq_encode_pallas(state, emb, n_q)
         return rvq_encode(state, emb, n_q)
 

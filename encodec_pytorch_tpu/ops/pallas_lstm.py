@@ -93,7 +93,13 @@ _VMEM_XP_LIMIT_BYTES = 32 * 2 ** 20
 
 def fits(x_shape, H: int) -> bool:
     """True if [B, T, C] input is within the kernel's VMEM budget."""
-    B, T = x_shape[0], x_shape[1]
+    try:
+        B, T = int(x_shape[0]), int(x_shape[1])
+    except Exception:  # TypeError or InconclusiveDimensionOperation
+        # symbolic dims (jax.export shape polymorphism): the fit cannot be
+        # decided at trace time, so take the lax.scan path — Pallas calls
+        # do not serialize with symbolic shapes anyway
+        return False
     t_pad = -(-T // TIME_BLOCK) * TIME_BLOCK
     return t_pad * B * 4 * H * 4 <= _VMEM_XP_LIMIT_BYTES
 

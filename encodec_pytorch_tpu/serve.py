@@ -521,6 +521,8 @@ class StreamingServer:
             new_dec = _mask_select(mask, new_dec, dec_state, dec_axes)
             return jnp.swapaxes(y, 1, 2), new_enc, new_dec
 
+        # raw (un-jitted) step kept for scan-chained benchmarking/tests
+        self._mux_fn = _fn
         return jax.jit(_fn, static_argnums=6, donate_argnums=(2, 3))
 
     def _splice_slot(self, storage, axes, state1, slot: int):

@@ -38,6 +38,9 @@ def main():
     p.add_argument('--seconds', type=int, default=30)
     p.add_argument('--dtype', default='float32',
                    choices=['float32', 'bfloat16'])
+    p.add_argument('--model', default='24k', choices=['24k', '48k'],
+                   help='flagship causal 24 kHz mono, or the segmented '
+                        'normalized stereo 48 kHz flavor (model.py:311-329)')
     p.add_argument('--weights', default='raw',
                    choices=['raw', 'fold', 'int8'],
                    help='serving prep (prepare.py): fold weight norm, or '
@@ -46,15 +49,25 @@ def main():
 
     from encodec_pytorch_tpu.models.model import EncodecModel
 
-    model = EncodecModel._get_model(
-        [1.5, 3., 6., 12., 24.], 24_000, 1, causal=True,
-        model_norm='weight_norm', audio_normalize=False, segment=None,
-        name='encodec_24khz',
-        dtype={'float32': jnp.float32,
-               'bfloat16': jnp.bfloat16}[args.dtype])
+    dtype = {'float32': jnp.float32, 'bfloat16': jnp.bfloat16}[args.dtype]
+    if args.model == '24k':
+        model = EncodecModel._get_model(
+            [1.5, 3., 6., 12., 24.], 24_000, 1, causal=True,
+            model_norm='weight_norm', audio_normalize=False, segment=None,
+            name='encodec_24khz', dtype=dtype)
+    else:
+        # released 48 kHz flavor: stereo, non-causal time_group_norm,
+        # per-segment normalization scales, 1 s segments (model.py:311-329);
+        # the segment loop unrolls under jit, so each clip second adds one
+        # encode+decode segment to the program
+        model = EncodecModel._get_model(
+            [3., 6., 12., 24.], 48_000, 2, causal=False,
+            model_norm='time_group_norm', audio_normalize=True, segment=1.,
+            name='encodec_48khz', dtype=dtype)
     model.set_target_bandwidth(6.)
-    T = 24_000 * args.seconds
-    variables = model.init(jax.random.PRNGKey(0), example_length=24000)
+    T = model.sample_rate * args.seconds
+    variables = model.init(jax.random.PRNGKey(0),
+                           example_length=model.sample_rate)
     variables['quantizer'] = variables['quantizer']._replace(
         inited=jnp.ones_like(variables['quantizer'].inited),
         embed=jax.random.normal(jax.random.PRNGKey(1),
@@ -86,7 +99,8 @@ def main():
             y, _ = jax.lax.scan(body, x, None, length=ITERS)
             return jnp.sum(y)
 
-        x = jax.random.normal(jax.random.PRNGKey(2), (b, 1, T)) * 0.1
+        x = jax.random.normal(jax.random.PRNGKey(2),
+                              (b, model.channels, T)) * 0.1
         float(chained(x))  # compile
         t0 = time.perf_counter()
         float(chained(x))

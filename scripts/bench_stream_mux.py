@@ -48,9 +48,11 @@ def main():
 
     print(f'# {args.dtype}, bw {args.bandwidth}; {args.chunks} ticks per '
           f'measurement; all slots active', flush=True)
-    print('| streams | chunk | tick (block) | per-stream RTF | '
-          'aggregate audio-s/s |')
-    print('|---|---|---|---|---|')
+    print('# block = host blocks per tick (includes the dev relay RTT); '
+          'dev = scan-chained pure device tick', flush=True)
+    print('| streams | chunk | tick (block) | tick (dev) | '
+          'dev per-stream RTF | dev aggregate audio-s/s |')
+    print('|---|---|---|---|---|---|')
 
     rng = np.random.RandomState(3)
     for hops in args.hops:
@@ -74,11 +76,46 @@ def main():
                                             xs, mask, server.n_q)
                 np.asarray(wav)
             tick = (time.perf_counter() - t0) / args.chunks
-            per_stream_rtf = (n / 24_000) / tick
-            agg = s * n / 24_000 / tick
+
+            # pure device tick: scan-chain the raw mux step — each tick's
+            # input is the previous tick's (masked) output so nothing can
+            # be elided; two-point calibration removes the fixed relay
+            # fetch (same method as bench_streaming.py)
+            params, qstate = variables['params'], variables['quantizer']
+            n_q, mux_fn = server.n_q, server._mux_fn
+
+            def body(carry, _, _mux=mux_fn, _m=mask, _nq=n_q):
+                enc_s, dec_s, x = carry
+                wav, enc_s, dec_s = _mux(params, qstate, enc_s, dec_s, x,
+                                         _m, _nq)
+                # mux returns [S, C, T]; the step consumes time-major
+                return (enc_s, dec_s, jnp.swapaxes(wav, 1, 2) * 0.1), None
+
+            def chained(iters, _body=body):
+                @jax.jit
+                def run(enc_s, dec_s, x):
+                    (enc_s, dec_s, x), _ = jax.lax.scan(
+                        _body, (enc_s, dec_s, x), None, length=iters)
+                    return jnp.sum(x.astype(jnp.float32))
+
+                e, d = server.codec.init_state(server.max_streams)
+                float(run(e, d, xs))
+                ts = []
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    float(run(e, d, xs))
+                    ts.append(time.perf_counter() - t0)
+                return sorted(ts)[2]
+
+            t_lo, t_hi = chained(16), chained(1024)
+            t_dev = (t_hi - t_lo) / (1024 - 16)
+
+            rtf_dev = (n / 24_000) / t_dev
+            agg_dev = s * n / 24_000 / t_dev
             ms = 1e3
             print(f'| {s} | {hops} hop ({n}) | {tick * ms:.3f} ms | '
-                  f'{per_stream_rtf:.1f}x | {agg:.1f} |', flush=True)
+                  f'{t_dev * ms:.3f} ms | {rtf_dev:.0f}x | {agg_dev:.0f} |',
+                  flush=True)
 
 
 if __name__ == '__main__':

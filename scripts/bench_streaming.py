@@ -145,14 +145,18 @@ def main():
         # --- pure device time: scan-chain the fused body (each chunk's input
         # is the previous chunk's output, so nothing can be elided), two-point
         # calibrated to remove the fixed relay fetch
+        from encodec_pytorch_tpu.prepare import dequantize_weights
         from encodec_pytorch_tpu.quantization.core_vq import rvq_decode
         n_q = model.quantizer.num_quantizers_for_bandwidth(
             model.frame_rate, model.bandwidth)
-        params = variables['params']
+        qparams = variables['params']
         qstate = variables['quantizer']
 
         def body(carry, _):
             enc_s, dec_s, x = carry
+            # in-program dequant per chunk, mirroring the fused chunk
+            # programs (streaming.py) — a no-op walk on plain params
+            params = dequantize_weights(qparams)
             emb, enc_s = codec.encoder.apply(params['encoder'], enc_s, x,
                                              first=False)
             codes = model._rvq_encode_impl(qstate, emb, n_q)

@@ -162,3 +162,38 @@ def test_deploy_cli(tmp_path, monkeypatch):
     # unsupported bandwidth is refused
     with pytest.raises(SystemExit):
         deploy_cli.main([str(out), '-f', '--bandwidths', '24'])
+
+
+def test_pallas_gates_refuse_symbolic_dims(monkeypatch):
+    """On a TPU host the export trace reaches the Pallas dispatch gates
+    with a SYMBOLIC batch dim (shape-polymorphic artifacts). Both gates
+    must fall back to the XLA paths instead of raising
+    InconclusiveDimensionOperation (found by scripts/check_deploy_tpu.py
+    on real hardware) or trying to serialize a Pallas call."""
+    from jax import export as jax_export
+
+    from encodec_pytorch_tpu.ops import pallas_lstm, pallas_vq
+
+    b, = jax_export.symbolic_shape('b')
+    # VMEM-fit gate: undecidable fit → False, never raises
+    assert pallas_lstm.fits((b, 2304, 512), 512) is False
+    assert pallas_lstm.fits((12, b, 512), 512) is False
+    assert pallas_lstm.fits((1, 2304, 512), 512) is True
+
+    # RVQ gate: force the TPU branch on CPU; the concrete-shape guard must
+    # still route the symbolic-batch trace to the scan path (tracing would
+    # otherwise die inside rvq_encode_pallas on `M_pad != M`)
+    monkeypatch.setattr(pallas_vq, 'available', lambda: True)
+    model, variables = _small_model()
+    qstate = variables['quantizer']
+
+    exported = jax_export.export(jax.jit(
+        lambda st, e: EncodecModel._rvq_encode_impl(st, e, 2)))(
+            jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                         qstate),
+            jax.ShapeDtypeStruct((b, 8, 128), jnp.float32))
+    emb = jax.random.normal(jax.random.PRNGKey(3), (3, 8, 128)) * 0.1
+    got = exported.call(qstate, emb)
+    from encodec_pytorch_tpu.quantization.core_vq import rvq_encode
+    want = rvq_encode(qstate, emb, 2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
