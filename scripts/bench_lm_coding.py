@@ -63,7 +63,12 @@ def main(argv=None):
     wav = (0.5 * np.sin(2 * np.pi * 220 * t) * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))
            + 0.05 * rng.randn(T)).astype(np.float32)[None]
 
-    def timed(fn, warmup=1):
+    def timed(fn, warmup=1, tag=''):
+        # stage-progress prints: compiles through the remote service can
+        # take many minutes, so make each stage's completion visible
+        if tag:
+            print(f'# [{time.strftime("%H:%M:%S")}] warming: {tag}',
+                  flush=True)
         for _ in range(warmup):
             out = fn()
         times = []
@@ -71,16 +76,22 @@ def main(argv=None):
             t0 = time.perf_counter()
             out = fn()
             times.append(time.perf_counter() - t0)
+        if tag:
+            print(f'# [{time.strftime("%H:%M:%S")}] {tag}: '
+                  f'{min(times):.3f} s', flush=True)
         return min(times), out
 
     results = {}
-    t_packed, data_packed = timed(lambda: C.compress(model, variables, wav))
+    t_packed, data_packed = timed(lambda: C.compress(model, variables, wav),
+                                  tag='compress packed')
     results['compress packed'] = (t_packed, len(data_packed))
     t_lm, data_lm = timed(
-        lambda: C.compress(model, variables, wav, use_lm=True, lm=lm))
+        lambda: C.compress(model, variables, wav, use_lm=True, lm=lm),
+        tag='compress LM pipelined')
     results['compress LM (pipelined)'] = (t_lm, len(data_lm))
     t_lmf, data_lmf = timed(lambda: C.compress(
-        model, variables, wav, use_lm=True, lm=lm, lm_fused=True))
+        model, variables, wav, use_lm=True, lm=lm, lm_fused=True),
+        tag='compress LM fused')
     results['compress LM (fused on-device)'] = (t_lmf, len(data_lmf))
     if not args.skip_slow_baseline:
         t_lm_old, data_old = timed(lambda: C.compress(
@@ -89,13 +100,16 @@ def main(argv=None):
         assert data_old == data_lm, 'paths diverged!'
         results['compress LM (per-step, old)'] = (t_lm_old, len(data_old))
 
-    t_dp, out_p = timed(lambda: C.decompress(model, variables, data_packed))
+    t_dp, out_p = timed(lambda: C.decompress(model, variables, data_packed),
+                        tag='decompress packed')
     results['decompress packed'] = (t_dp, None)
-    t_dl, out_l = timed(lambda: C.decompress(model, variables, data_lm, lm=lm))
+    t_dl, out_l = timed(lambda: C.decompress(model, variables, data_lm, lm=lm),
+                        tag='decompress LM per-step')
     results['decompress LM'] = (t_dl, None)
     np.testing.assert_allclose(out_p[0], out_l[0], atol=1e-6)
     t_dlf, out_lf = timed(
-        lambda: C.decompress(model, variables, data_lmf, lm=lm))
+        lambda: C.decompress(model, variables, data_lmf, lm=lm),
+        tag='decompress LM fused')
     results['decompress LM (fused on-device)'] = (t_dlf, None)
     np.testing.assert_array_equal(np.asarray(out_p[0]), np.asarray(out_lf[0]))
 
