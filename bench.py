@@ -1,21 +1,31 @@
-"""Benchmark: encode+decode real-time factor at 24 kHz, n_q=8 (bandwidth 6).
+"""Benchmark harness — prints one JSON line per metric, HEADLINE LAST.
 
-North-star from BASELINE.json: > 10× real-time per chip. Prints one JSON
-line: {"metric", "value", "unit", "vs_baseline"} with vs_baseline = RTF / 10.
-Runs on whatever device jax sees (the driver runs it on a real TPU chip).
+The driver parses the final line: encode+decode real-time factor at 24 kHz,
+n_q=8 (bandwidth 6). North-star from BASELINE.json: > 10× real-time per
+chip; vs_baseline = RTF / 10. The headline line also carries the repeat
+statistics (min/median and the observed band) so the run-to-run relay
+jitter is resolved in the artifact itself (VERDICT r3 weak #4).
+
+Earlier lines pin the other headline claims from docs/PERF_NOTES.md so the
+driver artifact captures them too (VERDICT r3 item 6):
+- full production GAN train step (batch 12 × 72 000, bf16, all opts)
+- 16-slot stream-multiplexer aggregate throughput
+- fully on-device fused LM codec encode/decode RTF
+Each extra section is best-effort: on failure it prints an {"error": ...}
+line and the headline still runs. Set ENCODEC_TPU_BENCH_FAST=1 to skip the
+extras (local dev).
 
 Measures the shipped TPU serving configuration: the end-to-end bfloat16
 activation pipeline (f32 master weights/quantizer; quality bound tested in
-tests/test_bf16.py — >95 % of RVQ code indices identical to the f32 path,
-small relative waveform delta). Measured context: f32 ≈ 1470×, bf16 ≈
-1900× on one v5e chip (docs/PERF_NOTES.md).
+tests/test_bf16.py — >95 % of RVQ code indices identical to the f32 path).
 
-Methodology: the host↔device dispatch+sync overhead (a ~33 ms relay
-round-trip in the dev environment) would otherwise swamp the measurement, so
-the codec round-trip is iterated inside ONE jitted `lax.scan` (each iteration
-consumes the previous output, so nothing can be elided) and a scalar checksum
-is fetched to force completion; per-iteration time =
-(total − measured dispatch overhead) / iters.
+Methodology: the host↔device dispatch+sync overhead (a ~27-37 ms relay
+round-trip in the dev environment, jittery) would otherwise swamp the
+measurements, so workloads are iterated inside ONE jitted `lax.scan` (each
+iteration consumes the previous output, so nothing can be elided) and a
+scalar checksum is fetched to force completion; per-iteration time =
+(total − measured dispatch overhead) / iters, min over repeats (the relay
+noise is purely additive, so min is the faithful device-cost estimator).
 """
 
 import json
@@ -25,6 +35,7 @@ import sys
 import time
 
 ITERS = 10
+REPEATS = 7
 
 
 def _wait_for_backend(max_wait_s: float = 900.0) -> None:
@@ -73,26 +84,204 @@ def _measure_dispatch_overhead() -> float:
     return sorted(times)[len(times) // 2]
 
 
-def main():
-    _wait_for_backend()
+def _flagship(dtype=None):
     import jax
     import jax.numpy as jnp
-
     from encodec_pytorch_tpu.models.model import EncodecModel
-
     model = EncodecModel._get_model(
         [1.5, 3., 6., 12., 24.], 24_000, 1, causal=True,
         model_norm='weight_norm', audio_normalize=False, segment=None,
-        name='encodec_24khz', dtype=jnp.bfloat16)
-    model.set_target_bandwidth(6.)  # n_q = 8
-
-    seconds = 30
-    T = 24_000 * seconds
+        name='encodec_24khz', dtype=dtype or jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), example_length=24000)
     variables['quantizer'] = variables['quantizer']._replace(
         inited=jnp.ones_like(variables['quantizer'].inited),
         embed=jax.random.normal(jax.random.PRNGKey(1),
                                 variables['quantizer'].embed.shape))
+    model.set_target_bandwidth(6.)  # n_q = 8
+    return model, variables
+
+
+# --------------------------------------------------------- extra metrics
+
+def bench_train_step() -> dict:
+    """Full production GAN step (batch 12 × 72 000, bf16, shipped opts) —
+    the 232.4 ms / 155 audio-s/s headline (PERF_NOTES 'Time-major disc
+    framing'). Direct timing: per-step cost ≫ relay RTT, so N dispatches +
+    one fetch, minus one measured overhead."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from encodec_pytorch_tpu.models.model import EncodecModel
+    from encodec_pytorch_tpu.models.msstftd import MultiScaleSTFTDiscriminator
+    from encodec_pytorch_tpu.parallel.mesh import (
+        batch_sharding, create_mesh, replicated_sharding, shard_batch)
+    from encodec_pytorch_tpu.train.balancer import Balancer
+    from encodec_pytorch_tpu.train.schedule import warmup_cosine_schedule
+    from encodec_pytorch_tpu.train.step import (build_train_step,
+                                                init_train_state)
+
+    batch, cut = 12, 72_000
+    model = EncodecModel._get_model(
+        [1.5, 3., 6., 12., 24.], 24_000, 1, causal=True,
+        model_norm='weight_norm', audio_normalize=True, segment=None,
+        name='my_encodec', dtype=jnp.bfloat16)
+    disc = MultiScaleSTFTDiscriminator(
+        filters=32, n_ffts=(1024, 2048, 512), hop_lengths=(256, 512, 128),
+        win_lengths=(1024, 2048, 512), dtype=jnp.bfloat16)
+    balancer = Balancer({'l_t': 0.1, 'l_f': 1, 'l_g': 3, 'l_feat': 3})
+    sched = warmup_cosine_schedule(3e-4, max_iter=100_000, eta_ratio=0.1,
+                                   warmup_iter=5000, warmup_ratio=1e-4)
+    step_fn = build_train_step(model, disc, balancer, sched, sched,
+                               disc_prob=1.0, sample_rate=24_000,
+                               disc_cond_update=False)
+
+    mesh = create_mesh(0)
+    repl = replicated_sharding(mesh)
+    jitted = jax.jit(step_fn,
+                     in_shardings=(repl, batch_sharding(mesh), repl, repl),
+                     out_shardings=(repl, repl),
+                     donate_argnums=(0,))
+    state = jax.device_put(
+        init_train_state(model, disc, balancer, jax.random.PRNGKey(0),
+                         example_length=cut), repl)
+    data = shard_batch(mesh, np.random.RandomState(0).randn(
+        batch, 1, cut).astype(np.float32) * 0.1)
+    rng = jax.device_put(jax.random.PRNGKey(1), repl)
+    allowed = jax.device_put(jnp.asarray(True), repl)
+
+    for _ in range(2):   # compile + settle
+        state, metrics = jitted(state, data, rng, allowed)
+    float(metrics['loss_g'])
+    overhead = _measure_dispatch_overhead()
+
+    steps = 8
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = jitted(state, data, rng, allowed)
+        float(metrics['loss_g'])
+        dts.append(time.perf_counter() - t0)
+    dt = max(min(dts) - overhead, 1e-9) / steps
+    del state, data, jitted
+    return {
+        "metric": "train_step_bs12_cut72000_bf16",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms",
+        "audio_s_per_s": round(batch * cut / 24_000 / dt, 1),
+    }
+
+
+def bench_stream_mux() -> dict:
+    """16-slot stream multiplexer, 4-hop chunks — the ≈3,900 concurrent
+    real-time streams/chip headline (PERF_NOTES 'Serving runtime').
+    Scan-chained pure device tick, two-point calibration."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from encodec_pytorch_tpu.serve import StreamingServer
+
+    model, variables = _flagship()
+    slots, hops = 16, 4
+    server = StreamingServer(model, variables, max_streams=slots,
+                             chunk_hops=hops)
+    n = server.chunk_samples
+    xs = jnp.asarray(
+        np.random.RandomState(3).randn(slots, n, 1).astype(np.float32) * 0.1)
+    mask = jnp.ones((slots,), bool)
+    params, qstate = variables['params'], variables['quantizer']
+    n_q, mux_fn = server.n_q, server._mux_fn
+
+    def body(carry, _):
+        enc_s, dec_s, x = carry
+        wav, enc_s, dec_s = mux_fn(params, qstate, enc_s, dec_s, x, mask,
+                                   n_q)
+        return (enc_s, dec_s, jnp.swapaxes(wav, 1, 2) * 0.1), None
+
+    def chained(iters):
+        @jax.jit
+        def run(enc_s, dec_s, x):
+            (enc_s, dec_s, x), _ = jax.lax.scan(
+                body, (enc_s, dec_s, x), None, length=iters)
+            return jnp.sum(x.astype(jnp.float32))
+
+        e, d = server.codec.init_state(server.max_streams)
+        float(run(e, d, xs))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(run(e, d, xs))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[2]
+
+    t_lo, t_hi = chained(16), chained(1024)
+    t_dev = (t_hi - t_lo) / (1024 - 16)
+    agg = slots * n / 24_000 / t_dev
+    return {
+        "metric": "stream_mux_16slot_4hop_aggregate",
+        "value": round(agg, 0),
+        "unit": "audio_s_per_s",
+        "tick_ms": round(t_dev * 1e3, 3),
+        "concurrent_realtime_streams": int(agg),
+    }
+
+
+def bench_lm_fused() -> dict:
+    """Fully on-device fused LM entropy codec — the 57×/56× RT headline
+    (PERF_NOTES 'Fully on-device LM entropy codec'). Released LM
+    architecture, 10 s of codes, blocking wall-clock (the per-frame device
+    call already amortizes the relay)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from encodec_pytorch_tpu import compress as C
+    from encodec_pytorch_tpu.models.lm import LMModel
+
+    model, variables = _flagship(dtype=jnp.float32)
+    seconds = 10
+    lm_def = LMModel(n_q=model.quantizer.n_q, card=model.quantizer.bins,
+                     num_layers=5, dim=200,
+                     past_context=int(3.5 * model.frame_rate))
+    lm = C.LM(lm_def, lm_def.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 8, 1), jnp.int32))['params'])
+    rng = np.random.RandomState(3)
+    t = np.arange(seconds * 24_000) / 24_000
+    wav = (0.5 * np.sin(2 * np.pi * 220 * t)
+           + 0.05 * rng.randn(len(t))).astype(np.float32)[None]
+
+    def timed(fn, warmup=1):
+        for _ in range(warmup):
+            out = fn()
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn()
+            ts.append(time.perf_counter() - t0)
+        return min(ts), out
+
+    t_enc, data = timed(lambda: C.compress(model, variables, wav,
+                                           use_lm=True, lm=lm, lm_fused=True))
+    t_dec, _ = timed(lambda: C.decompress(model, variables, data, lm=lm))
+    return {
+        "metric": "lm_fused_codec_rtf",
+        "value": round(seconds / t_dec, 1),
+        "unit": "x_realtime_decode",
+        "encode_rtf": round(seconds / t_enc, 1),
+    }
+
+
+# ------------------------------------------------------------- headline
+
+def bench_roundtrip() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    model, variables = _flagship()
+    seconds = 30
+    T = 24_000 * seconds
 
     def body(x, _):
         return model(variables, x), None
@@ -104,29 +293,44 @@ def main():
 
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 1, T)) * 0.1
 
-    # warmup/compile
-    _, chk = chained(x)
+    _, chk = chained(x)   # warmup/compile
     float(chk)
     overhead = _measure_dispatch_overhead()
 
-    # Best of 3 timed repeats: the dev-environment host<->TPU relay adds
-    # jittery (purely additive) latency, so min is the faithful estimator
-    # of the device cost (same rationale as timeit's min).
     dts = []
-    for _ in range(3):
+    for _ in range(REPEATS):
         t0 = time.perf_counter()
         _, chk = chained(x)
         float(chk)  # forces a real device round-trip
         dts.append(time.perf_counter() - t0)
-    dt = max(min(dts) - overhead, 1e-9) / ITERS
-
-    rtf = seconds / dt
-    print(json.dumps({
+    per_iter = [max(d - overhead, 1e-9) / ITERS for d in sorted(dts)]
+    rtf = [seconds / d for d in per_iter]          # descending
+    return {
         "metric": "encode_decode_rtf_24khz_nq8",
-        "value": round(rtf, 2),
+        "value": round(rtf[0], 2),                  # min-time estimator
         "unit": "x_realtime",
-        "vs_baseline": round(rtf / 10.0, 3),
-    }))
+        "vs_baseline": round(rtf[0] / 10.0, 3),
+        "median": round(rtf[len(rtf) // 2], 2),
+        "band": [round(rtf[-1], 2), round(rtf[0], 2)],
+        "repeats": REPEATS,
+    }
+
+
+def main():
+    _wait_for_backend()
+
+    if not os.environ.get('ENCODEC_TPU_BENCH_FAST'):
+        import jax
+        for section in (bench_train_step, bench_stream_mux, bench_lm_fused):
+            try:
+                print(json.dumps(section()), flush=True)
+            except Exception as exc:   # never block the headline
+                print(json.dumps({"metric": section.__name__,
+                                  "error": f'{type(exc).__name__}: {exc}'}),
+                      flush=True)
+            jax.clear_caches()
+
+    print(json.dumps(bench_roundtrip()), flush=True)
 
 
 if __name__ == '__main__':

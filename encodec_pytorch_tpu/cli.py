@@ -50,6 +50,15 @@ def get_parser():
                              'encodec_bw, optional converted weights otherwise)')
     parser.add_argument('--lm_checkpoint', type=str,
                         help='local torch checkpoint for the entropy LM')
+    parser.add_argument('--lm_backend', type=str, default='jax',
+                        choices=['jax', 'torch'],
+                        help="'torch' replays the reference's LM "
+                             'probabilities bit-exactly on the host '
+                             '(models/lm_replay.py) — required to decode LM '
+                             'streams written by the reference '
+                             'implementation, or to write streams it can '
+                             'decode. Implies the host coder (no fused '
+                             'on-device codec).')
     parser.add_argument('--lm_host', action='store_true',
                         help='Entropy-code with the host (step-by-step) LM '
                              'path instead of the fully on-device fused '
@@ -121,8 +130,10 @@ def run_one(args, model, variables, lm):
 
         wav, sr = read_wav(args.input)
         wav = convert_audio(wav, sr, model.sample_rate, model.channels)
+        lm_fused = (args.lm and not args.lm_host
+                    and args.lm_backend != 'torch')
         compressed = C.compress(model, variables, wav, use_lm=args.lm, lm=lm,
-                                lm_fused=args.lm and not args.lm_host)
+                                lm_fused=lm_fused)
         if args.output.suffix.lower() == SUFFIX:
             args.output.write_bytes(compressed)
         else:
@@ -169,7 +180,8 @@ def cli_main(args):
     # if a checkpoint was supplied even without -l
     lm = None
     if args.lm or args.lm_checkpoint:
-        lm = C.get_lm_model(model, checkpoint=args.lm_checkpoint)
+        lm = C.get_lm_model(model, checkpoint=args.lm_checkpoint,
+                            backend=args.lm_backend)
 
     if args.input.is_dir():
         output_root = args.output

@@ -92,7 +92,8 @@ class LM:
         return np.asarray(jnp.concatenate(chunks, axis=-1))
 
 
-def get_lm_model(model: EncodecModel, checkpoint: tp.Optional[str] = None) -> LM:
+def get_lm_model(model: EncodecModel, checkpoint: tp.Optional[str] = None,
+                 backend: str = 'jax') -> tp.Any:
     """The associated entropy LM (reference model.py:221-240).
 
     The reference downloads pretrained LM weights; this environment has no
@@ -100,12 +101,29 @@ def get_lm_model(model: EncodecModel, checkpoint: tp.Optional[str] = None) -> LM
     ``.th`` state dict (converted via lm_params_from_torch) or a native
     self-describing msgpack from the LM trainer (train/lm_trainer.py).
     Without one, a ValueError mirrors the reference's unsupported-model error.
+
+    ``backend='torch'`` returns the bit-exact :class:`TorchReplayLM`
+    (models/lm_replay.py) instead — REQUIRED for decoding LM streams written
+    by the reference implementation (and for writing streams the reference
+    can decode): arithmetic coding desyncs under any probability difference,
+    and JAX re-evaluation lands ~1e-8 off torch — right at the CDF roundoff
+    grid (tests/test_ref_interop.py). Host coder paths only (no fused codec).
     """
     if checkpoint is None:
         raise ValueError(
             "No local LM checkpoint provided (pretrained download needs "
             "network). Pass lm=LM(...) or checkpoint=<path to torch .th or "
             "native .msgpack>.")
+    if backend == 'torch':
+        if checkpoint.endswith('.msgpack'):
+            raise ValueError(
+                "backend='torch' replays a torch .th checkpoint bit-exactly; "
+                "native msgpack LMs were trained in JAX — use the default "
+                "jax backend (their streams are written and read by it).")
+        from .models.lm_replay import replay_lm_from_checkpoint
+        return replay_lm_from_checkpoint(
+            checkpoint, n_q=model.quantizer.n_q, card=model.quantizer.bins,
+            past_context=int(3.5 * model.frame_rate))
     if checkpoint.endswith('.msgpack'):
         from .train.lm_trainer import load_lm_checkpoint
         lm_def, params = load_lm_checkpoint(checkpoint)
@@ -144,6 +162,11 @@ def compress_to_file(model: EncodecModel, variables, wav, fo: tp.IO[bytes],
     assert wav.ndim == 2, "Only single waveform can be encoded."
     if use_lm and lm is None:
         lm = get_lm_model(model)
+    if use_lm and lm_fused and not hasattr(lm, 'fused_coder'):
+        raise ValueError(
+            "lm_fused=True needs the JAX LM (the fused on-device coder); the "
+            "torch replay backend is host-coder only — pass lm_fused=False "
+            "(its streams are reference-interchangeable instead).")
 
     frames = model.encode(variables, jnp.asarray(wav[None]))
     frames = [(np.asarray(codes), None if scale is None else np.asarray(scale))

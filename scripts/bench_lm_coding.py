@@ -113,6 +113,27 @@ def main(argv=None):
     results['decompress LM (fused on-device)'] = (t_dlf, None)
     np.testing.assert_array_equal(np.asarray(out_p[0]), np.asarray(out_lf[0]))
 
+    # reference-interop scenario (VERDICT r3 item 3): a stream carrying
+    # torch-evaluated LM probabilities, decoded host-side with the bit-exact
+    # TorchReplayLM (models/lm_replay.py) — no per-symbol device round-trip
+    from encodec_pytorch_tpu.export import lm_state_dict
+    from encodec_pytorch_tpu.models.lm_replay import TorchReplayLM
+    replay = TorchReplayLM(lm_state_dict(jax.device_get(lm.params)),
+                           n_q=lm_def.n_q, card=lm_def.card, dim=lm_def.dim,
+                           num_layers=lm_def.num_layers,
+                           past_context=lm_def.past_context)
+    t_cr, data_replay = timed(lambda: C.compress(
+        model, variables, wav, use_lm=True, lm=replay), warmup=0,
+        tag='compress LM torch-replay')
+    results['compress LM (torch replay, ref-interop)'] = (t_cr,
+                                                          len(data_replay))
+    t_dr, out_r = timed(lambda: C.decompress(
+        model, variables, data_replay, lm=replay), warmup=0,
+        tag='decompress LM torch-replay')
+    results['decompress LM (torch replay, ref-interop)'] = (t_dr, None)
+    np.testing.assert_allclose(np.asarray(out_p[0]), np.asarray(out_r[0]),
+                               atol=1e-6)
+
     dur = args.seconds
     K = model.quantizer.num_quantizers_for_bandwidth(model.frame_rate,
                                                      args.bandwidth)

@@ -1,0 +1,271 @@
+"""Cross-runtime `.ecdc` interop, end to end (VERDICT r3 item 1).
+
+Files written by the REFERENCE torch ``compress_to_file`` (reference
+compress.py:30-92) are decoded by OUR ``decompress`` and vice versa, for
+both the 10-bit packed path and the LM + arithmetic-coder path, from one
+shared set of weights (torch init → converted via convert.py).
+
+What is provable, and how hard, differs by path:
+
+- **Packed path**: the stream is a pure function of the code indices, and
+  code indices are integer argmins — exact across runtimes (asserted).
+  Streams are byte-identical both directions; either side decodes the
+  other's file. Hard asserts.
+- **LM path**: decodability hinges on reproducing the encoder's quantized
+  CDFs EXACTLY. Measured here: torch and JAX LM probabilities agree to
+  ~1e-8, which sits right AT the reference's 1e-8 roundoff grid (reference
+  ac.py:29-38), so a fraction of the 2^24-scaled CDF boundaries shift by
+  ±O(10) units — and the range coder's state drifts on ANY boundary
+  difference at the decoded symbol (renormalization amplifies it), so a
+  cross-evaluated stream desyncs within a few symbols
+  (test_lm_jax_reeval_desyncs documents this, and the grid-agreement test
+  bounds the divergence so a real conversion bug — which would blow
+  boundaries up to ~1e6 — cannot hide behind it). The reference has the
+  identical limitation across torch architectures; its roundoff mitigates,
+  not removes, the risk (ac.py:29-31). The reliable route, and what the e2e
+  cases below hard-assert, is the ``TorchReplayLM`` backend
+  (models/lm_replay.py): bit-exact replay of the reference's probability
+  evaluation → streams interop byte-identically both directions.
+"""
+
+import io
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ref_compat import install_audio_stubs, ref_path, to_numpy_sd
+
+N_FILTERS = 8
+N_Q = 4
+BW = 3.0          # → n_q = 4 at 75 Hz (vq.py:101-113)
+T = 24000         # 1 s → 75 frames → 300 LM symbols
+LM_DIM, LM_LAYERS, LM_CTX = 64, 2, 50
+
+
+def _ref_modules():
+    install_audio_stubs()
+    ref_path()
+    import model as ref_model_mod
+    import modules as ref_m
+    import quantization as ref_qt
+    return ref_model_mod, ref_m, ref_qt
+
+
+@pytest.fixture(scope='module')
+def pair():
+    """(ref torch model, our model, our variables) sharing one set of
+    weights; plus matched LMs both sides."""
+    ref_model_mod, ref_m, ref_qt = _ref_modules()
+
+    torch.manual_seed(777)
+    encoder = ref_m.SEANetEncoder(channels=1, norm='weight_norm',
+                                  causal=True, n_filters=N_FILTERS)
+    decoder = ref_m.SEANetDecoder(channels=1, norm='weight_norm',
+                                  causal=True, n_filters=N_FILTERS)
+    quantizer = ref_qt.ResidualVectorQuantizer(
+        dimension=encoder.dimension, n_q=N_Q, bins=1024)
+    ref = ref_model_mod.EncodecModel(
+        encoder, decoder, quantizer, target_bandwidths=[1.5, BW],
+        sample_rate=24000, channels=1, normalize=False, segment=None,
+        name='my_encodec')
+    for layer in ref.quantizer.vq.layers:
+        cb = layer._codebook
+        cb.embed.normal_()
+        cb.embed_avg.copy_(cb.embed)
+        cb.cluster_size.fill_(1.0)
+        cb.inited.fill_(1)
+    ref.eval()
+    ref.set_target_bandwidth(BW)
+
+    torch.manual_seed(3)
+    ref_lm = ref_model_mod.LMModel(n_q=N_Q, card=1024, dim=LM_DIM,
+                                   num_layers=LM_LAYERS, past_context=LM_CTX)
+    ref_lm.eval()
+    # reference compress calls model.get_lm_model() which downloads weights
+    # (model.py:221-240, no egress here) — route it to the local torch LM
+    ref.get_lm_model = lambda: ref_lm
+
+    from encodec_pytorch_tpu.compress import LM
+    from encodec_pytorch_tpu.models.lm import LMModel, lm_params_from_torch
+    from encodec_pytorch_tpu.models.model import (
+        EncodecModel, variables_from_torch_state_dict)
+
+    ours = EncodecModel._get_model([1.5, BW], 24000, 1, causal=True,
+                                   n_q=N_Q, n_filters=N_FILTERS,
+                                   name='my_encodec')
+    variables = variables_from_torch_state_dict(ours, to_numpy_sd(ref))
+    ours.set_target_bandwidth(BW)
+
+    lm_def = LMModel(n_q=N_Q, card=1024, dim=LM_DIM, num_layers=LM_LAYERS,
+                     past_context=LM_CTX)
+    our_lm = LM(lm_def, jax.tree.map(jnp.asarray,
+                                     lm_params_from_torch(to_numpy_sd(ref_lm))))
+
+    from encodec_pytorch_tpu.models.lm_replay import TorchReplayLM
+    replay_lm = TorchReplayLM(to_numpy_sd(ref_lm), n_q=N_Q, card=1024,
+                              dim=LM_DIM, num_layers=LM_LAYERS,
+                              past_context=LM_CTX)
+    return ref, ours, variables, ref_lm, our_lm, replay_lm
+
+
+@pytest.fixture(scope='module')
+def wav():
+    rng = np.random.RandomState(0)
+    t = np.arange(T) / 24000
+    sig = (0.6 * np.sin(2 * np.pi * 340 * t)
+           + 0.25 * np.sin(2 * np.pi * 1200 * t + 0.7)
+           + 0.05 * rng.randn(T))
+    return sig.astype(np.float32)[None]   # [C=1, T]
+
+
+def _ref_compress(ref, wav_np, use_lm):
+    sys.path.insert(0, '/root/reference') if '/root/reference' not in sys.path else None
+    import compress as ref_compress_mod
+    fo = io.BytesIO()
+    ref_compress_mod.compress_to_file(ref, torch.from_numpy(wav_np), fo,
+                                      use_lm=use_lm)
+    return fo.getvalue()
+
+
+def _ref_decompress(ref, data):
+    import compress as ref_compress_mod
+    wav, sr = ref_compress_mod.decompress(ref, data, device='cpu')
+    return wav.numpy(), sr
+
+
+def test_codes_exact_across_runtimes(pair, wav):
+    """Same weights → bit-identical code indices from both encoders."""
+    ref, ours, variables, _, _, _ = pair
+    with torch.no_grad():
+        ref_frames = ref.encode(torch.from_numpy(wav)[None])
+    our_frames = ours.encode(variables, jnp.asarray(wav[None]))
+    assert len(ref_frames) == len(our_frames) == 1
+    np.testing.assert_array_equal(np.asarray(our_frames[0][0]),
+                                  ref_frames[0][0].numpy())
+
+
+def test_packed_ref_writes_we_decode(pair, wav):
+    from encodec_pytorch_tpu import compress as our_compress_mod
+    ref, ours, variables, _, _, _ = pair
+    data = _ref_compress(ref, wav, use_lm=False)
+    out, sr = our_compress_mod.decompress(ours, variables, data)
+    assert sr == 24000 and out.shape == wav.shape
+    ref_out, _ = _ref_decompress(ref, data)
+    np.testing.assert_allclose(out, ref_out, atol=2e-4, rtol=1e-3)
+
+
+def test_packed_we_write_ref_decodes(pair, wav):
+    from encodec_pytorch_tpu import compress as our_compress_mod
+    ref, ours, variables, _, _, _ = pair
+    data = our_compress_mod.compress(ours, variables, wav, use_lm=False)
+    out, sr = _ref_decompress(ref, data)
+    assert sr == 24000 and out.shape == wav.shape
+    our_out, _ = our_compress_mod.decompress(ours, variables, data)
+    np.testing.assert_allclose(our_out, out, atol=2e-4, rtol=1e-3)
+
+
+def test_packed_streams_byte_identical(pair, wav):
+    from encodec_pytorch_tpu import compress as our_compress_mod
+    ref, ours, variables, _, _, _ = pair
+    ref_bytes = _ref_compress(ref, wav, use_lm=False)
+    our_bytes = our_compress_mod.compress(ours, variables, wav, use_lm=False)
+    assert ref_bytes == our_bytes
+
+
+def test_lm_ref_writes_we_decode(pair, wav):
+    """Reference torch LM+AC stream → our decompress via the bit-exact
+    TorchReplayLM backend: exact codes, wav matches the reference's own
+    decode."""
+    from encodec_pytorch_tpu import compress as our_compress_mod
+    ref, ours, variables, _, _, replay_lm = pair
+    data = _ref_compress(ref, wav, use_lm=True)
+    out, sr = our_compress_mod.decompress(ours, variables, data,
+                                          lm=replay_lm)
+    assert sr == 24000 and out.shape == wav.shape
+    ref_out, _ = _ref_decompress(ref, data)
+    np.testing.assert_allclose(out, ref_out, atol=2e-4, rtol=1e-3)
+
+
+def test_lm_we_write_ref_decodes(pair, wav):
+    from encodec_pytorch_tpu import compress as our_compress_mod
+    ref, ours, variables, _, _, replay_lm = pair
+    data = our_compress_mod.compress(ours, variables, wav, use_lm=True,
+                                     lm=replay_lm)
+    out, sr = _ref_decompress(ref, data)
+    assert sr == 24000 and out.shape == wav.shape
+    our_out, _ = our_compress_mod.decompress(ours, variables, data,
+                                             lm=replay_lm)
+    np.testing.assert_allclose(our_out, out, atol=2e-4, rtol=1e-3)
+
+
+def test_lm_streams_byte_identical(pair, wav):
+    """With the replay backend our LM+AC stream is byte-identical to the
+    reference's — probabilities, CDFs, coder state all bit-equal."""
+    from encodec_pytorch_tpu import compress as our_compress_mod
+    ref, ours, variables, _, _, replay_lm = pair
+    ref_bytes = _ref_compress(ref, wav, use_lm=True)
+    our_bytes = our_compress_mod.compress(ours, variables, wav, use_lm=True,
+                                          lm=replay_lm)
+    assert ref_bytes == our_bytes
+
+
+def test_lm_jax_reeval_desyncs(pair, wav):
+    """Documents WHY the replay backend exists: re-evaluating the LM in JAX
+    (agreeing to ~1e-8 — right at the CDF roundoff grid) desyncs the range
+    coder within a few symbols on a reference-written stream. If this ever
+    starts passing symbol-exactly, the JAX path became grid-stable and the
+    replay backend can be retired."""
+    from encodec_pytorch_tpu import compress as our_compress_mod
+    from encodec_pytorch_tpu.bitstream import binary
+    ref, ours, variables, _, our_lm, _ = pair
+    with torch.no_grad():
+        true_codes = ref.encode(torch.from_numpy(wav)[None])[0][0][0].numpy()
+    data = _ref_compress(ref, wav, use_lm=True)
+    fi = io.BytesIO(data)
+    md = binary.read_ecdc_header(fi)
+    decoded = our_compress_mod._decompress_frame_lm(our_lm, fi, md['nc'],
+                                                    md['fr'])
+    errs = int((decoded != true_codes).sum())
+    assert errs > 0, (
+        "JAX re-evaluation decoded a reference LM stream symbol-exactly — "
+        "grid-stable now? revisit the TorchReplayLM backend")
+
+
+def test_lm_cdf_grid_agreement(pair):
+    """Bound the torch↔JAX divergence on the quantized-CDF grid: a real
+    conversion/parity bug would blow CDF boundaries up by ~1e6 units; the
+    legitimate fp-noise exposure measured here is O(10) of 2^24."""
+    ref_path()
+    from quantization.ac import build_stable_quantized_cdf as ref_cdf
+    _, _, _, ref_lm, our_lm, _ = pair
+
+    rng = np.random.RandomState(1)
+    codes = rng.randint(0, 1024, size=(1, N_Q, 40))
+    inp = torch.zeros(1, N_Q, 1, dtype=torch.long)
+    states, offset = None, 0
+    t_probas = []
+    with torch.no_grad():
+        for t in range(codes.shape[-1]):
+            p, states, offset = ref_lm(inp, states, offset)
+            t_probas.append(p.numpy())
+            inp = 1 + torch.from_numpy(codes[:, :, t:t + 1])
+    t_probas = np.concatenate(t_probas, axis=-1)
+    j_probas = our_lm.probas_teacher_forced(codes)
+
+    assert np.abs(t_probas - j_probas).max() < 1e-7
+
+    max_delta = 0
+    for t in range(codes.shape[-1]):
+        for k in range(N_Q):
+            ct = ref_cdf(torch.from_numpy(t_probas[0, :, k, t].copy()), 24,
+                         check=False).numpy()
+            cj = ref_cdf(torch.from_numpy(j_probas[0, :, k, t].copy()), 24,
+                         check=False).numpy()
+            max_delta = max(max_delta, int(np.abs(ct - cj).max()))
+    # fp-noise scale; a conversion bug would be ~1e6
+    assert max_delta < 1000, max_delta
