@@ -316,19 +316,47 @@ def bench_roundtrip() -> dict:
     }
 
 
+_SECTIONS = {'train_step': bench_train_step, 'stream_mux': bench_stream_mux,
+             'lm_fused': bench_lm_fused}
+# generous per-section budgets (cold remote compiles take minutes; the
+# remote compile service can also degrade under load — the timeout makes a
+# stuck section cost bounded instead of eating the headline)
+_BUDGET_S = {'train_step': 1500, 'stream_mux': 900, 'lm_fused': 1200}
+
+
 def main():
     _wait_for_backend()
 
+    if os.environ.get('ENCODEC_TPU_BENCH_SECTION'):
+        # child mode: run ONE section and print its line
+        name = os.environ['ENCODEC_TPU_BENCH_SECTION']
+        print(json.dumps(_SECTIONS[name]()), flush=True)
+        return
+
     if not os.environ.get('ENCODEC_TPU_BENCH_FAST'):
-        import jax
-        for section in (bench_train_step, bench_stream_mux, bench_lm_fused):
+        # run each extra section in a SUBPROCESS with a time budget: a hung
+        # compile (or a section crash) can then never block the headline,
+        # and the TPU is free again the moment the child exits
+        for name in _SECTIONS:
+            env = dict(os.environ, ENCODEC_TPU_BENCH_SECTION=name)
             try:
-                print(json.dumps(section()), flush=True)
-            except Exception as exc:   # never block the headline
-                print(json.dumps({"metric": section.__name__,
-                                  "error": f'{type(exc).__name__}: {exc}'}),
+                r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                   env=env, timeout=_BUDGET_S[name],
+                                   capture_output=True, text=True)
+                lines = [ln for ln in r.stdout.splitlines()
+                         if ln.startswith('{')]
+                if r.returncode == 0 and lines:
+                    print(lines[-1], flush=True)
+                else:
+                    tail = (r.stderr or r.stdout).strip().splitlines()[-3:]
+                    print(json.dumps({"metric": name,
+                                      "error": f'rc={r.returncode}: '
+                                               + ' | '.join(tail)[-400:]}),
+                          flush=True)
+            except subprocess.TimeoutExpired:
+                print(json.dumps({"metric": name,
+                                  "error": f'timeout {_BUDGET_S[name]}s'}),
                       flush=True)
-            jax.clear_caches()
 
     print(json.dumps(bench_roundtrip()), flush=True)
 

@@ -272,16 +272,22 @@ class EncodecModel:
                    ratios=(8, 5, 4, 2),
                    n_q: Optional[int] = None,
                    n_filters: int = 32,
+                   pad_mode: str = 'reflect',
                    dtype=jnp.float32) -> 'EncodecModel':
         """Mirror of model.py:242-276 incl. the default n_q formula
         (→ 32 for 24 kHz / bw 24, model.py:258). ``dtype`` selects the
-        matmul/conv compute dtype (bfloat16 for MXU throughput)."""
+        matmul/conv compute dtype (bfloat16 for MXU throughput);
+        ``pad_mode`` forwards to the SEANet convs (reference seanet.py:39
+        default 'reflect'; 'constant' makes serving-time length bucketing
+        bit-exact — serve.LiveCodec.length_pad_exact)."""
         encoder = SEANetEncoder(channels=channels, norm=model_norm,
                                 causal=causal, ratios=tuple(ratios),
-                                n_filters=n_filters, dtype=dtype)
+                                n_filters=n_filters, pad_mode=pad_mode,
+                                dtype=dtype)
         decoder = SEANetDecoder(channels=channels, norm=model_norm,
                                 causal=causal, ratios=tuple(ratios),
-                                n_filters=n_filters, dtype=dtype)
+                                n_filters=n_filters, pad_mode=pad_mode,
+                                dtype=dtype)
         if n_q is None:
             n_q = int(1000 * target_bandwidths[-1]
                       // (math.ceil(sample_rate / encoder.hop_length) * 10))

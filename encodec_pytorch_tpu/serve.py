@@ -107,16 +107,75 @@ class LiveCodec:
     def roundtrip(self, x, bandwidth: Optional[float] = None):
         return self._fn('roundtrip', bandwidth, None)(np.asarray(x))
 
+    @property
+    def length_pad_exact(self) -> bool:
+        """True when right-zero-padding the time axis provably cannot change
+        any output VALUE before the pad point — the strictest condition for
+        CodecServer length bucketing. Requires causal, non-normalizing,
+        single-frame models (normalizing models compute a whole-segment
+        volume scale, models/model.py:125; segmented models add frames) AND
+        ``pad_mode='constant'``: then the padding an unpadded encode would
+        add to complete its last window is zeros too (ops/pad.py), so code
+        indices are identical and wavs agree to per-shape XLA compilation
+        fp noise (~1e-7: different lengths compile different fusions; a
+        code index could in principle flip on an exact argmin tie). With
+        the reference default ``pad_mode='reflect'`` the unpadded call
+        reflects REAL samples into the last window while the bucketed call
+        sees zeros, so the final frame can differ — see
+        :attr:`length_pad_tail_exact`."""
+        m = self.model
+        return (self.length_pad_tail_exact
+                and m.encoder.pad_mode == 'constant'
+                and m.decoder.pad_mode == 'constant')
+
+    @property
+    def length_pad_tail_exact(self) -> bool:
+        """True when right-zero-padding can change at most the FINAL frame
+        of codes (and hence the final hop of decoded audio): causal,
+        non-normalizing, single-frame models of any pad_mode, for clips of
+        at least :attr:`length_pad_min_samples`. Every layer is causal, so
+        padding differences live only in each layer's last-window
+        completion, whose causal cone is the last output frame. Neither
+        the zero- nor the reflect-completed last window is more 'correct'
+        — both are edge paddings of the same clip."""
+        m = self.model
+        return (bool(m.encoder.causal) and not m.normalize
+                and m.segment is None)
+
+    @property
+    def hop_length(self) -> int:
+        return self.model.encoder.hop_length
+
+    @property
+    def length_pad_min_samples(self) -> int:
+        """Shortest clip for which the reflect-pad tail-exactness guarantee
+        holds. Below it some layer's input is shorter than its own padding
+        and the reference's short-input reflect guard (reference
+        conv.py:94-97: extra zero pad before the reflect) makes that
+        layer's semantics length-dependent — padding the clip then changes
+        outputs beyond the final frame. Constant-pad models have no such
+        guard (no minimum). The horizon equals streaming's minimum first
+        chunk (the deepest left-padding, ~2240 samples for the 24 kHz
+        flavor)."""
+        if self.model.encoder.pad_mode == 'constant' \
+                and self.model.decoder.pad_mode == 'constant':
+            return 0
+        if not hasattr(self, '_pad_min'):
+            from .streaming import StreamingCodec
+            self._pad_min = StreamingCodec(self.model).min_first_chunk_samples
+        return self._pad_min
+
 
 class _Request:
     __slots__ = ('kind', 'args', 'bandwidth', 'length', 'future', 't0',
-                 'batch_key')
+                 'batch_key', 'out_tail')
 
-    def __init__(self, kind, args, bandwidth, length):
+    def __init__(self, kind, args, bandwidth, length, out_tail=None):
         self.kind = kind
         self.args = args          # pytree; every array leaf is ONE item
         self.bandwidth = bandwidth
         self.length = length
+        self.out_tail = out_tail  # slice every output leaf to [..., :n]
         self.future: Future = Future()
         self.t0 = time.monotonic()
         # computed once: _take_batch rescans the queue on every wakeup
@@ -134,16 +193,47 @@ class CodecServer:
     - ``bucket_sizes``: batches are padded (by repeating the last item)
       up to the next bucket so the compiler sees a bounded set of batch
       shapes; results for pad rows are dropped.
+    - ``length_buckets``: optional sorted sample lengths. When set,
+      wav/codes inputs are right-zero-padded on the time axis up to the
+      next bucket BEFORE keying, so mixed-length traffic coalesces into
+      one batch (without this, the exact-shape batch key degenerates to
+      serial dispatch under realistic traffic). Per-item results are
+      sliced back to the true length. Requires a backend whose padding is
+      provably exact (``backend.length_pad_exact`` — constant-pad causal
+      models: bit-identical to direct calls) or tail-exact
+      (``backend.length_pad_tail_exact`` — reflect-pad causal models: at
+      most the final code frame / final hop of audio differs from a
+      direct unpadded call; see LiveCodec). Requests longer than the
+      largest bucket, or decode requests with an explicit ``length``,
+      fall back to exact-shape keying.
     """
 
     def __init__(self, backend, *, max_batch: int = 8,
                  max_wait_ms: float = 2.0,
-                 bucket_sizes: Sequence[int] = (1, 2, 4, 8, 16, 32)):
+                 bucket_sizes: Sequence[int] = (1, 2, 4, 8, 16, 32),
+                 length_buckets: Optional[Sequence[int]] = None):
         self.backend = backend
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
         self.buckets = sorted(b for b in bucket_sizes if b <= max_batch) \
             or [max_batch]
+        self.length_buckets = (sorted(length_buckets)
+                               if length_buckets else None)
+        if self.length_buckets:
+            if not (getattr(backend, 'length_pad_exact', False)
+                    or getattr(backend, 'length_pad_tail_exact', False)):
+                raise ValueError(
+                    'length_buckets requires a backend whose time-axis '
+                    'padding is exact or tail-exact (causal, '
+                    'non-normalizing, single-frame models — '
+                    'backend.length_pad_exact / length_pad_tail_exact); '
+                    f'{type(backend).__name__} does not qualify')
+            self._hop = int(backend.hop_length)
+            # below this, the short-input reflect guard makes padding
+            # non-exact (see LiveCodec.length_pad_min_samples) — such
+            # requests fall back to exact-shape keying
+            self._min_len = int(getattr(backend, 'length_pad_min_samples',
+                                        0))
         self._queue: collections.deque = collections.deque()
         self._cv = threading.Condition()
         self._stop = False
@@ -178,12 +268,43 @@ class CodecServer:
 
     # ------------------------------------------------------------ submit
 
+    def _length_bucket(self, kind: str, args, length: Optional[int]):
+        """(padded args, out_tail) — right-zero-pad the time axis to the
+        next length bucket so mixed-length requests share a batch key.
+        out_tail = how much of each output leaf's last axis is real."""
+        if not self.length_buckets or length is not None:
+            return args, None
+        if kind in ('roundtrip', 'encode'):
+            x = np.asarray(args)
+            T = x.shape[-1]
+            b = next((b for b in self.length_buckets if b >= T), None)
+            if b is None or T < self._min_len:
+                return args, None
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, b - T)]
+            frames = -(-T // self._hop)
+            return (np.pad(x, pad),
+                    frames if kind == 'encode' else T)
+        # decode: args = (codes_tuple,) — single-frame models only (the
+        # length_pad_exact gate excludes segmented ones)
+        codes = args[0]
+        if len(args) > 1 or len(codes) != 1:
+            return args, None
+        c = np.asarray(codes[0])
+        Tc = c.shape[-1]
+        fb = next((-(-b // self._hop) for b in self.length_buckets
+                   if -(-b // self._hop) >= Tc), None)
+        if fb is None or Tc * self._hop < self._min_len:
+            return args, None
+        padded = np.pad(c, [(0, 0)] * (c.ndim - 1) + [(0, fb - Tc)])
+        return ((padded,),), Tc * self._hop
+
     def submit(self, kind: str, args, bandwidth: Optional[float] = None,
                length: Optional[int] = None) -> Future:
         """Enqueue one item; the Future resolves to its un-batched result."""
         if kind not in _KINDS:
             raise ValueError(f"kind must be one of {_KINDS}")
-        req = _Request(kind, args, bandwidth, length)
+        args, out_tail = self._length_bucket(kind, args, length)
+        req = _Request(kind, args, bandwidth, length, out_tail)
         with self._cv:
             self._stats['requests'] += 1
             self._queue.append(req)
@@ -289,7 +410,10 @@ class CodecServer:
             for r in batch:
                 self._latencies.append(now - r.t0)
         for i, r in enumerate(batch):
-            r.future.set_result(jax.tree.map(lambda a: a[i], out))
+            res = jax.tree.map(lambda a: a[i], out)
+            if r.out_tail is not None:   # length-bucketed: drop pad tail
+                res = jax.tree.map(lambda a, n=r.out_tail: a[..., :n], res)
+            r.future.set_result(res)
 
     def _worker(self):
         while True:

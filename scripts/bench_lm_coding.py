@@ -118,9 +118,12 @@ def main(argv=None):
     # TorchReplayLM (models/lm_replay.py) — no per-symbol device round-trip
     from encodec_pytorch_tpu.export import lm_state_dict
     from encodec_pytorch_tpu.models.lm_replay import TorchReplayLM
-    replay = TorchReplayLM(lm_state_dict(jax.device_get(lm.params)),
-                           n_q=lm_def.n_q, card=lm_def.card, dim=lm_def.dim,
-                           num_layers=lm_def.num_layers,
+    replay_sd = lm_state_dict(jax.device_get(lm.params))
+    # flax only materializes the emb/linear heads the init input exercised
+    # (K at bw 6 here, not lm_def.n_q) — size the replay to what exists
+    n_heads = sum(1 for k in replay_sd if k.startswith('emb.'))
+    replay = TorchReplayLM(replay_sd, n_q=n_heads, card=lm_def.card,
+                           dim=lm_def.dim, num_layers=lm_def.num_layers,
                            past_context=lm_def.past_context)
     t_cr, data_replay = timed(lambda: C.compress(
         model, variables, wav, use_lm=True, lm=replay), warmup=0,

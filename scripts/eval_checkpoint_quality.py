@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Held-out quality of a native trainer checkpoint: round-trip a wav set
+at a bandwidth and report mel-distance / STOI / SI-SNR means.
+
+The evaluator behind the bf16-vs-f32 and int8 quality tables in
+docs/PERF_NOTES.md — pointed at the speech-anchored set from
+scripts/make_speech_set.py so the levels mean something for speech
+(VERDICT r3 weak #5).
+
+    python scripts/eval_checkpoint_quality.py <run_folder> \
+        --wav-dir /tmp/speech_set/test --bandwidth 24 \
+        [overrides: same model.* dot-paths as the training run]
+"""
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('run_folder', help='checkpoint.save_folder of the run')
+    p.add_argument('--wav-dir', required=True)
+    p.add_argument('--bandwidth', type=float, default=24.)
+    p.add_argument('--config', default='config')
+    p.add_argument('--max-clips', type=int, default=0, help='0 = all')
+    p.add_argument('overrides', nargs='*', default=[])
+    args, extra = p.parse_known_args(argv)
+    overrides = list(args.overrides) + list(extra)
+
+    import jax
+    import jax.numpy as jnp
+
+    from encodec_pytorch_tpu import metrics as M
+    from encodec_pytorch_tpu.config import load_config
+    from encodec_pytorch_tpu.data.audio_io import read_wav
+    from encodec_pytorch_tpu.train.balancer import Balancer
+    from encodec_pytorch_tpu.train.checkpoint import (latest_checkpoint,
+                                                      load_checkpoint)
+    from encodec_pytorch_tpu.train.step import init_train_state
+    from encodec_pytorch_tpu.train.trainer import (build_disc_from_config,
+                                                   build_model_from_config)
+
+    config = load_config(args.config, overrides)
+    model = build_model_from_config(config)
+    disc = build_disc_from_config(config)
+    balancer = Balancer(dict(config.balancer.weights))
+    template = init_train_state(model, disc, balancer, jax.random.PRNGKey(0),
+                                example_length=int(config.datasets.tensor_cut))
+    path = latest_checkpoint(args.run_folder)
+    if path is None:
+        raise SystemExit(f'no .ckpt under {args.run_folder}')
+    state, epoch = load_checkpoint(path, template)
+    variables = {'params': state.params_g, 'quantizer': state.quantizer}
+    model.set_target_bandwidth(args.bandwidth)
+
+    wavs = sorted(Path(args.wav_dir).glob('*.wav'))
+    if args.max_clips:
+        wavs = wavs[:args.max_clips]
+    rows = []
+    for w in wavs:
+        wav, sr = read_wav(w)
+        assert sr == model.sample_rate, (sr, model.sample_rate)
+        out = np.asarray(model(variables, jnp.asarray(wav[None])))[0]
+        rows.append((M.mel_distance(wav[0], out[0], sr),
+                     M.stoi(wav[0], out[0], sr),
+                     M.si_snr(wav[0], out[0])))
+    mel, st, snr = (float(np.mean([r[i] for r in rows])) for i in range(3))
+    print(f'# {path} (epoch {epoch}), {len(rows)} clips @ bw '
+          f'{args.bandwidth:g}')
+    print('| mel-dist | STOI | SI-SNR |')
+    print('|---|---|---|')
+    print(f'| {mel:.4f} | {st:.4f} | {snr:.2f} |')
+    return mel, st, snr
+
+
+if __name__ == '__main__':
+    main()

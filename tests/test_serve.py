@@ -250,3 +250,202 @@ def test_server_artifact_backend(tmp_path, live):
     for c, out in zip(clips, outs):
         ref = np.asarray(codec.roundtrip(c[None], bandwidth=3.))[0]
         np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+# ------------------------------------------------------- length bucketing
+
+
+@pytest.fixture(scope='module')
+def live_const():
+    """Constant-pad variant: the configuration where length bucketing is
+    provably BIT-exact (LiveCodec.length_pad_exact)."""
+    model = EncodecModel._get_model(
+        [1.5, 3.], 24000, 1, causal=True, model_norm='weight_norm',
+        audio_normalize=False, segment=None, name='encodec_24khz', n_q=4,
+        n_filters=4, pad_mode='constant')
+    variables = model.init(jax.random.PRNGKey(0), example_length=2400)
+    variables['quantizer'] = variables['quantizer']._replace(
+        inited=jnp.ones_like(variables['quantizer'].inited),
+        embed=jax.random.normal(jax.random.PRNGKey(1),
+                                variables['quantizer'].embed.shape))
+    model.set_target_bandwidth(3.)
+    return model, variables, LiveCodec(model, variables)
+
+
+def test_length_pad_exact_constant_mode(live_const):
+    """With pad_mode='constant', right-zero-padding the time axis is
+    value-exact: the padding an unpadded encode adds to complete its last
+    window is zeros too, so code indices are identical and wavs agree to
+    per-shape XLA compilation fp noise (~1e-7 — different input lengths
+    compile different fusions) after slicing — at every length, including
+    ones where the reflect-pad model diverges (800, 1600)."""
+    model, variables, codec = live_const
+    assert codec.length_pad_exact
+    hop = codec.hop_length
+    Tpad = 2400
+    for T in (800, 1600, 2000, 2399):
+        x = _clips(1, T, seed=7)[0][None]
+        xp = np.pad(x, [(0, 0), (0, 0), (0, Tpad - T)])
+        frames = -(-T // hop)
+
+        codes = np.asarray(codec.encode(x)[0])
+        codes_p = np.asarray(codec.encode(xp)[0])
+        np.testing.assert_array_equal(codes_p[..., :frames], codes)
+
+        rt = np.asarray(codec.roundtrip(x))
+        rt_p = np.asarray(codec.roundtrip(xp))
+        np.testing.assert_allclose(rt_p[..., :T], rt[..., :T], atol=1e-6)
+
+        dec = np.asarray(codec.decode((codes,)))
+        dec_p = np.asarray(codec.decode((codes_p,)))
+        np.testing.assert_allclose(dec_p[..., :frames * hop],
+                                   dec[..., :frames * hop], atol=1e-6)
+
+
+def test_length_pad_tail_exact_reflect_mode(live):
+    """With the reference-default pad_mode='reflect' (the `live` fixture),
+    the unpadded call reflects REAL samples into each layer's last-window
+    completion while a zero-bucketed call sees zeros — so the FINAL frame
+    of codes (and the final hop of audio) may legitimately differ, and
+    everything before it is exact (the divergence's causal cone). This
+    pins the length_pad_tail_exact contract."""
+    model, variables, codec = live
+    assert not codec.length_pad_exact and codec.length_pad_tail_exact
+    hop = codec.hop_length
+    m = codec.length_pad_min_samples
+    assert m > 0   # reflect models have a short-input horizon
+    Tpad = -(-(m + 480) // hop) * hop
+    for T in (m, m + 160, Tpad - 1):
+        x = _clips(1, T, seed=7)[0][None]
+        xp = np.pad(x, [(0, 0), (0, 0), (0, Tpad - T)])
+        frames = -(-T // hop)
+        codes = np.asarray(codec.encode(x)[0])
+        codes_p = np.asarray(codec.encode(xp)[0])
+        np.testing.assert_array_equal(codes_p[..., :frames - 1],
+                                      codes[..., :frames - 1])
+        rt = np.asarray(codec.roundtrip(x))
+        rt_p = np.asarray(codec.roundtrip(xp))
+        cut = (frames - 1) * hop
+        np.testing.assert_allclose(rt_p[..., :cut], rt[..., :cut],
+                                   atol=1e-6)
+
+
+def test_server_length_buckets_coalesce_mixed_lengths(live_const):
+    """Mixed-length roundtrip traffic coalesces into ONE batch under
+    length_buckets (without them the exact-shape key dispatches serially),
+    and every result matches the direct call (tolerance = batch-size fp
+    variation only, measured ~6e-8)."""
+    _, _, codec = live_const
+    lengths = [1600, 2000, 2399, 2400, 800]
+    clips = [_clips(1, t, seed=10 + i)[0] for i, t in enumerate(lengths)]
+    direct = [np.asarray(codec.roundtrip(c[None]))[0] for c in clips]
+
+    server = CodecServer(codec, max_batch=8, max_wait_ms=1.0,
+                         length_buckets=[2400])
+    futures = [server.submit('roundtrip', c) for c in clips]
+    server.start()
+    try:
+        outs = [f.result(timeout=300) for f in futures]
+    finally:
+        server.stop()
+
+    for out, ref, t in zip(outs, direct, lengths):
+        assert out.shape == (1, t)
+        np.testing.assert_allclose(out, ref[..., :t], atol=1e-6)
+    s = server.stats()
+    assert s['batches'] == 1 and s['mean_batch'] == 5
+
+
+def test_server_length_buckets_encode_decode(live_const):
+    """Encode and decode requests bucket too: codes are sliced to the true
+    frame count (bit-exact), decoded wavs to frames*hop."""
+    model, variables, codec = live_const
+    hop = codec.hop_length
+    lengths = [1200, 2000, 2400]
+    clips = [_clips(1, t, seed=20 + i)[0] for i, t in enumerate(lengths)]
+    direct_codes = [np.asarray(codec.encode(c[None])[0])[0] for c in clips]
+
+    server = CodecServer(codec, max_batch=8, max_wait_ms=1.0,
+                         length_buckets=[2400]).start()
+    try:
+        futs = [server.submit('encode', c) for c in clips]
+        codes = [np.asarray(f.result(timeout=300)[0]) for f in futs]
+        for got, ref, t in zip(codes, direct_codes, lengths):
+            assert got.shape[-1] == -(-t // hop)
+            np.testing.assert_array_equal(got, ref)
+
+        dfuts = [server.submit('decode', ((c,),)) for c in codes]
+        decs = [np.asarray(f.result(timeout=300)) for f in dfuts]
+        for dec, c in zip(decs, codes):
+            ref = np.asarray(codec.decode((c[None],)))[0]
+            assert dec.shape[-1] == c.shape[-1] * hop
+            np.testing.assert_allclose(dec, ref[..., :dec.shape[-1]],
+                                       atol=1e-6)
+    finally:
+        server.stop()
+
+
+def test_server_length_buckets_mixed_concurrency_fuzz(live_const):
+    """Randomized mixed-length concurrent traffic (the VERDICT r3 case):
+    exact outputs AND real coalescing (mean_batch > 1)."""
+    _, _, codec = live_const
+    rng = np.random.RandomState(0)
+    lengths = [int(rng.randint(400, 2401)) for _ in range(24)]
+    clips = [_clips(1, t, seed=100 + i)[0] for i, t in enumerate(lengths)]
+    direct = {i: np.asarray(codec.roundtrip(c[None]))[0]
+              for i, c in enumerate(clips)}
+
+    server = CodecServer(codec, max_batch=8, max_wait_ms=20.0,
+                         length_buckets=[800, 1600, 2400]).start()
+    results = {}
+    errors = []
+
+    def call(i):
+        try:
+            results[i] = server.roundtrip(clips[i], timeout=600)
+        except Exception as e:  # noqa: BLE001
+            errors.append((i, e))
+
+    try:
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(len(clips))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        server.stop()
+
+    assert not errors, errors
+    for i, t in enumerate(lengths):
+        assert results[i].shape == (1, t)
+        np.testing.assert_allclose(results[i], direct[i][..., :t],
+                                   atol=1e-6)
+    s = server.stats()
+    assert s['requests'] == 24
+    assert s['mean_batch'] > 1.0, s   # coalescing actually happened
+
+
+def test_length_buckets_refused_for_normalizing_backend():
+    model = EncodecModel._get_model(
+        [1.5], 24000, 1, causal=True, model_norm='weight_norm',
+        audio_normalize=True, segment=None, name='toy', n_q=2, n_filters=4)
+    variables = model.init(jax.random.PRNGKey(0), example_length=2400)
+    model.set_target_bandwidth(1.5)
+    codec = LiveCodec(model, variables)
+    assert not codec.length_pad_exact
+    assert not codec.length_pad_tail_exact
+    with pytest.raises(ValueError, match='length_buckets'):
+        CodecServer(codec, length_buckets=[2400])
+
+
+def test_length_buckets_overflow_falls_back_exact(live_const):
+    """A request longer than the largest bucket keeps its exact shape and
+    still returns the exact direct result."""
+    _, _, codec = live_const
+    c = _clips(1, 3200, seed=42)[0]
+    direct = np.asarray(codec.roundtrip(c[None]))[0]
+    with CodecServer(codec, max_wait_ms=1.0,
+                     length_buckets=[2400]) as server:
+        out = server.roundtrip(c, timeout=300)
+    np.testing.assert_array_equal(out, direct)
