@@ -172,6 +172,21 @@ def export_entries(model, variables,
     return exported, entries
 
 
+def _pad_min_samples(model) -> int:
+    """The reflect-pad short-input horizon (serve.LiveCodec
+    .length_pad_min_samples); 0 for constant-pad models, -1 when the
+    streaming walker can't analyze this architecture (bucketing is then
+    refused for reflect artifacts)."""
+    if (model.encoder.pad_mode == 'constant'
+            and model.decoder.pad_mode == 'constant'):
+        return 0
+    try:
+        from .streaming import StreamingCodec
+        return int(StreamingCodec(model).min_first_chunk_samples)
+    except Exception:   # non-streamable architecture
+        return -1
+
+
 def save_artifact(path, model, variables,
                   lengths: Sequence[int],
                   bandwidths: Optional[Sequence[float]] = None,
@@ -191,6 +206,12 @@ def save_artifact(path, model, variables,
         'segment': model.segment,
         'platforms': list(platforms),
         'entries': entries,
+        # serving-side length-bucketing gates (serve.CodecServer): same
+        # semantics as LiveCodec.length_pad_{exact,tail_exact,min_samples}
+        'causal': bool(model.encoder.causal),
+        'pad_mode': model.encoder.pad_mode,
+        'hop_length': int(model.encoder.hop_length),
+        'length_pad_min_samples': _pad_min_samples(model),
     }
     with zipfile.ZipFile(path, 'w', zipfile.ZIP_DEFLATED) as zf:
         zf.writestr(_META_NAME, json.dumps(meta, indent=1))
@@ -236,6 +257,33 @@ class DeployedCodec:
     @property
     def bandwidths(self) -> List[float]:
         return sorted({float(e['bandwidth']) for e in self.meta['entries']})
+
+    # -- serving-side length-bucketing gates (serve.CodecServer) — same
+    # contract as LiveCodec; artifacts written before these meta keys
+    # existed report not-bucketable. NOTE: for a deployed backend the
+    # server's ``length_buckets`` must be a subset of ``self.lengths``
+    # (programs are exported per length).
+
+    @property
+    def length_pad_tail_exact(self) -> bool:
+        m = self.meta
+        return (bool(m.get('causal')) and not m.get('normalize')
+                and m.get('segment') is None
+                and m.get('length_pad_min_samples', -1) >= 0
+                and 'hop_length' in m)
+
+    @property
+    def length_pad_exact(self) -> bool:
+        return (self.length_pad_tail_exact
+                and self.meta.get('pad_mode') == 'constant')
+
+    @property
+    def hop_length(self) -> int:
+        return int(self.meta['hop_length'])
+
+    @property
+    def length_pad_min_samples(self) -> int:
+        return int(self.meta.get('length_pad_min_samples', -1))
 
     def _entry(self, kind: str, length: int, bandwidth: Optional[float]):
         bw = float(bandwidth) if bandwidth is not None else self.bandwidths[-1]

@@ -103,3 +103,39 @@ def test_replay_checkpoint_loader(tmp_path):
     with torch.no_grad():
         p_rep, _, _ = replay._forward(torch.from_numpy(inputs), None, 0)
     np.testing.assert_array_equal(p_rep.numpy(), p_ref.numpy())
+
+
+def test_get_lm_model_torch_backend(tmp_path):
+    """compress.get_lm_model(backend='torch') loads a reference-format .th
+    into a TorchReplayLM; the fused coder refuses it loudly."""
+    import io
+
+    import jax
+    import jax.numpy as jnp
+
+    from encodec_pytorch_tpu import compress as C
+    from encodec_pytorch_tpu.models.model import EncodecModel
+
+    ref_lm = _ref_lm(2, 1024, 200, 5, 8, 262, seed=9)
+    path = tmp_path / 'lm.th'
+    torch.save(ref_lm.state_dict(), str(path))
+
+    model = EncodecModel._get_model([1.5], 24000, 1, causal=True, n_q=2,
+                                    n_filters=4, name='my_encodec')
+    model.set_target_bandwidth(1.5)
+    lm = C.get_lm_model(model, checkpoint=str(path), backend='torch')
+    assert isinstance(lm, TorchReplayLM) and lm.n_q == 2
+
+    variables = model.init(jax.random.PRNGKey(0), example_length=2400)
+    variables['quantizer'] = variables['quantizer']._replace(
+        inited=jnp.ones_like(variables['quantizer'].inited))
+    wav = np.random.RandomState(0).randn(1, 2400).astype(np.float32) * 0.1
+    data = C.compress(model, variables, wav, use_lm=True, lm=lm)
+    out, sr = C.decompress(model, variables, data, lm=lm)
+    assert out.shape == wav.shape and sr == 24000
+
+    with pytest.raises(ValueError, match='fused'):
+        C.compress(model, variables, wav, use_lm=True, lm=lm, lm_fused=True)
+
+    with pytest.raises(ValueError, match='torch'):
+        C.get_lm_model(model, checkpoint='x.msgpack', backend='torch')

@@ -449,3 +449,34 @@ def test_length_buckets_overflow_falls_back_exact(live_const):
                      length_buckets=[2400]) as server:
         out = server.roundtrip(c, timeout=300)
     np.testing.assert_array_equal(out, direct)
+
+
+def test_server_length_buckets_deployed_backend(tmp_path, live_const):
+    """Length bucketing works over a StableHLO artifact backend too: the
+    artifact records the pad-exactness gates (deploy.save_artifact meta)
+    and the server pads mixed-length traffic up to an exported length."""
+    from encodec_pytorch_tpu import deploy
+
+    model, variables, codec = live_const
+    path = tmp_path / 'codec.ecdz'
+    deploy.save_artifact(str(path), model, variables, lengths=[2400],
+                         bandwidths=[3.0], platforms=['cpu'])
+    dc = deploy.DeployedCodec.load(str(path))
+    assert dc.length_pad_exact and dc.hop_length == codec.hop_length
+
+    lengths = [1600, 2000, 800]
+    clips = [_clips(1, t, seed=30 + i)[0] for i, t in enumerate(lengths)]
+    direct = [np.asarray(codec.roundtrip(c[None], bandwidth=3.0))[0]
+              for c in clips]
+    server = CodecServer(dc, max_batch=4, max_wait_ms=1.0,
+                         length_buckets=[2400])
+    futures = [server.submit('roundtrip', c, bandwidth=3.0) for c in clips]
+    server.start()
+    try:
+        outs = [f.result(timeout=300) for f in futures]
+    finally:
+        server.stop()
+    for out, ref, t in zip(outs, direct, lengths):
+        assert out.shape == (1, t)
+        np.testing.assert_allclose(out, ref[..., :t], atol=1e-5)
+    assert server.stats()['batches'] == 1
