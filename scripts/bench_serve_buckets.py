@@ -63,6 +63,11 @@ def main():
     p.add_argument('--max-seconds', type=float, default=30.0)
     p.add_argument('--max-batch', type=int, default=16)
     p.add_argument('--max-wait-ms', type=float, default=20.0)
+    p.add_argument('--n-buckets', type=int, default=6,
+                   help='number of evenly spaced length buckets')
+    p.add_argument('--distinct-lengths', type=int, default=6,
+                   help='draw request lengths from this many distinct '
+                        'values (bounds the exact-shape leg compile set)')
     args = p.parse_args()
 
     from encodec_pytorch_tpu.models.model import EncodecModel
@@ -82,15 +87,16 @@ def main():
     codec = LiveCodec(model, variables)
 
     rng = np.random.RandomState(0)
-    lengths = rng.randint(int(args.min_seconds * 24_000),
-                          int(args.max_seconds * 24_000) + 1,
-                          size=args.requests)
+    pool = np.unique(rng.randint(int(args.min_seconds * 24_000),
+                                 int(args.max_seconds * 24_000) + 1,
+                                 size=args.distinct_lengths))
+    lengths = pool[rng.randint(len(pool), size=args.requests)]
     clips = [np.asarray(
         jax.random.normal(jax.random.PRNGKey(100 + i), (1, int(t)))) * 0.1
         for i, t in enumerate(lengths)]
     total_audio_s = float(lengths.sum()) / 24_000
-    # 6 evenly spaced buckets spanning the traffic range
-    edges = np.linspace(args.min_seconds, args.max_seconds, 6)
+    # evenly spaced buckets spanning the traffic range
+    edges = np.linspace(args.min_seconds, args.max_seconds, args.n_buckets)
     buckets = [int(s * 24_000) for s in edges]
 
     print(f'# {args.requests} requests, {args.threads} threads, lengths '

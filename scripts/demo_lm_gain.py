@@ -48,6 +48,12 @@ def main(argv=None):
     p.add_argument('--batch', type=int, default=8)
     p.add_argument('--seconds', type=float, default=2.0)
     p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--speech-dir', default='',
+                   help='root of a make_speech_set.py output: train on '
+                        'random crops of <dir>/train/*.wav and evaluate on '
+                        '<dir>/test/*.wav — the speech-anchored LM-gain '
+                        'number (VERDICT r3 item 5) instead of tone '
+                        'mixtures')
     args = p.parse_args(argv)
 
     import jax
@@ -76,9 +82,34 @@ def main(argv=None):
 
     rng = np.random.RandomState(args.seed)
 
+    if args.speech_dir:
+        from pathlib import Path
+
+        from encodec_pytorch_tpu.data.audio_io import read_wav
+
+        def _load_dir(sub):
+            wavs = []
+            for f in sorted((Path(args.speech_dir) / sub).glob('*.wav')):
+                w, wsr = read_wav(f)
+                assert wsr == sr, (wsr, sr)
+                wavs.append(w[:1])
+            assert wavs, f'no wavs under {args.speech_dir}/{sub}'
+            return wavs
+
+        train_wavs = _load_dir('train')
+        test_wavs = _load_dir('test')
+        n_crop = int(sr * args.seconds)
+
+        def draw_clip(r, _sr, _seconds, pool=train_wavs):
+            w = pool[r.randint(len(pool))]
+            t0 = r.randint(0, max(1, w.shape[-1] - n_crop))
+            return w[:, t0:t0 + n_crop].astype(np.float32)
+    else:
+        draw_clip = make_clip
+
     def batches(n):
         for _ in range(n):
-            yield np.stack([make_clip(rng, sr, args.seconds)
+            yield np.stack([draw_clip(rng, sr, args.seconds)
                             for _ in range(args.batch)])
 
     t0 = time.time()
@@ -88,8 +119,12 @@ def main(argv=None):
     lm = C.LM(trainer.lm, trainer.state.params)
     eval_rng = np.random.RandomState(args.seed + 1000)
     packed_total, lm_total, dur_total = 0, 0, 0.0
-    for _ in range(5):
-        wav = make_clip(eval_rng, sr, args.seconds)
+    for i in range(5):
+        if args.speech_dir:
+            w = test_wavs[i % len(test_wavs)]
+            wav = w[:, :int(sr * args.seconds)].astype(np.float32)
+        else:
+            wav = make_clip(eval_rng, sr, args.seconds)
         packed = C.compress(model, variables, wav)
         coded = C.compress(model, variables, wav, use_lm=True, lm=lm,
                            lm_fused=True)
