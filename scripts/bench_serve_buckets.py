@@ -107,18 +107,20 @@ def main():
     for label, lb in (('exact-shape key (old)', None),
                       (f'length buckets {args.min_seconds:g}..'
                        f'{args.max_seconds:g} s', buckets)):
+        # deterministically pre-warm EVERY (length, batch-bucket) program
+        # the measure phase could possibly dispatch — concurrent warmup
+        # traffic covers only the batch compositions it happens to form,
+        # and a single cold compile (~1-2 min via the remote service)
+        # would swamp the measurement
+        warm_lengths = sorted(set(lb)) if lb else sorted(set(pool.tolist()))
+        bbuckets = [b for b in (1, 2, 4, 8, 16, 32) if b <= args.max_batch]
+        for L in warm_lengths:
+            for bb in bbuckets:
+                codec.roundtrip(np.zeros((bb, 1, int(L)), np.float32))
         server = CodecServer(codec, max_batch=args.max_batch,
                              max_wait_ms=args.max_wait_ms,
                              length_buckets=lb).start()
         try:
-            # warm the per-(bucket-length, batch-bucket) compile set first
-            warm_ts = [threading.Thread(
-                target=lambda c=c: server.roundtrip(c, timeout=1200))
-                for c in clips]
-            for t in warm_ts:
-                t.start()
-            for t in warm_ts:
-                t.join()
             base = dict(server._stats)
             dt, _ = drive(server, clips, args.threads)
             s = server.stats()
