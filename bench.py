@@ -318,14 +318,23 @@ def bench_roundtrip() -> dict:
 
 _SECTIONS = {'train_step': bench_train_step, 'stream_mux': bench_stream_mux,
              'lm_fused': bench_lm_fused}
-# generous per-section budgets (cold remote compiles take minutes; the
-# remote compile service can also degrade under load — the timeout makes a
-# stuck section cost bounded instead of eating the headline)
-_BUDGET_S = {'train_step': 1500, 'stream_mux': 900, 'lm_fused': 1200}
+# per-section budgets: on a healthy compile service every section finishes
+# well inside these (train-step compile ≈ 212 s + 8 steps); when the remote
+# compile service degrades (observed 20+ min compiles under load) the
+# section times out cheaply instead of starving the driver-parsed headline.
+# The persistent compile cache below makes warm re-runs near-instant.
+_BUDGET_S = {'train_step': 960, 'stream_mux': 780, 'lm_fused': 960}
+_CACHE_DIR = os.environ.get('ENCODEC_TPU_BENCH_CACHE',
+                            '/tmp/encodec_tpu_bench_xla_cache')
 
 
 def main():
     _wait_for_backend()
+    try:
+        from encodec_pytorch_tpu.utils import enable_compile_cache
+        enable_compile_cache(_CACHE_DIR)
+    except Exception:
+        pass
 
     if os.environ.get('ENCODEC_TPU_BENCH_SECTION'):
         # child mode: run ONE section and print its line

@@ -293,6 +293,14 @@ def decompress_from_file(model: EncodecModel, variables, fo: tp.IO[bytes],
     assert isinstance(num_codebooks, int)
     if use_lm and lm is None:
         lm = get_lm_model(model)
+    if (use_lm and lm_variant == 'fused1'
+            and not hasattr(lm, 'fused_coder')):
+        raise ValueError(
+            "this stream was written by the fused on-device coder "
+            "('lmv: fused1') — its probabilities come from the JAX LM, so "
+            "the torch replay backend cannot decode it; use the default "
+            "lm_backend='jax' (replay exists for reference-written "
+            "streams).")
 
     frames = []
     segment_length = model.segment_length or audio_length

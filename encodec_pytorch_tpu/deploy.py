@@ -38,6 +38,8 @@ import jax
 import jax.numpy as jnp
 from jax import export as jax_export
 
+from . import lengthpad
+
 FORMAT_VERSION = 1
 _META_NAME = 'meta.json'
 _PLATFORMS = ('cpu', 'tpu')
@@ -172,21 +174,6 @@ def export_entries(model, variables,
     return exported, entries
 
 
-def _pad_min_samples(model) -> int:
-    """The reflect-pad short-input horizon (serve.LiveCodec
-    .length_pad_min_samples); 0 for constant-pad models, -1 when the
-    streaming walker can't analyze this architecture (bucketing is then
-    refused for reflect artifacts)."""
-    if (model.encoder.pad_mode == 'constant'
-            and model.decoder.pad_mode == 'constant'):
-        return 0
-    try:
-        from .streaming import StreamingCodec
-        return int(StreamingCodec(model).min_first_chunk_samples)
-    except Exception:   # non-streamable architecture
-        return -1
-
-
 def save_artifact(path, model, variables,
                   lengths: Sequence[int],
                   bandwidths: Optional[Sequence[float]] = None,
@@ -210,8 +197,9 @@ def save_artifact(path, model, variables,
         # semantics as LiveCodec.length_pad_{exact,tail_exact,min_samples}
         'causal': bool(model.encoder.causal),
         'pad_mode': model.encoder.pad_mode,
+        'decoder_pad_mode': model.decoder.pad_mode,
         'hop_length': int(model.encoder.hop_length),
-        'length_pad_min_samples': _pad_min_samples(model),
+        'length_pad_min_samples': lengthpad.pad_min_samples(model),
     }
     with zipfile.ZipFile(path, 'w', zipfile.ZIP_DEFLATED) as zf:
         zf.writestr(_META_NAME, json.dumps(meta, indent=1))
@@ -267,15 +255,18 @@ class DeployedCodec:
     @property
     def length_pad_tail_exact(self) -> bool:
         m = self.meta
-        return (bool(m.get('causal')) and not m.get('normalize')
-                and m.get('segment') is None
+        return (lengthpad.tail_exact_gate(m.get('causal', False),
+                                          m.get('normalize', True),
+                                          m.get('segment'))
                 and m.get('length_pad_min_samples', -1) >= 0
                 and 'hop_length' in m)
 
     @property
     def length_pad_exact(self) -> bool:
+        m = self.meta
         return (self.length_pad_tail_exact
-                and self.meta.get('pad_mode') == 'constant')
+                and m.get('pad_mode') == 'constant'
+                and m.get('decoder_pad_mode') == 'constant')
 
     @property
     def hop_length(self) -> int:

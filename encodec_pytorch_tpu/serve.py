@@ -123,10 +123,10 @@ class LiveCodec:
         reflects REAL samples into the last window while the bucketed call
         sees zeros, so the final frame can differ — see
         :attr:`length_pad_tail_exact`."""
+        from .lengthpad import exact_gate
         m = self.model
-        return (self.length_pad_tail_exact
-                and m.encoder.pad_mode == 'constant'
-                and m.decoder.pad_mode == 'constant')
+        return exact_gate(m.encoder.causal, m.normalize, m.segment,
+                          m.encoder.pad_mode, m.decoder.pad_mode)
 
     @property
     def length_pad_tail_exact(self) -> bool:
@@ -138,9 +138,9 @@ class LiveCodec:
         completion, whose causal cone is the last output frame. Neither
         the zero- nor the reflect-completed last window is more 'correct'
         — both are edge paddings of the same clip."""
+        from .lengthpad import tail_exact_gate
         m = self.model
-        return (bool(m.encoder.causal) and not m.normalize
-                and m.segment is None)
+        return tail_exact_gate(m.encoder.causal, m.normalize, m.segment)
 
     @property
     def hop_length(self) -> int:
@@ -157,12 +157,9 @@ class LiveCodec:
         guard (no minimum). The horizon equals streaming's minimum first
         chunk (the deepest left-padding, ~2240 samples for the 24 kHz
         flavor)."""
-        if self.model.encoder.pad_mode == 'constant' \
-                and self.model.decoder.pad_mode == 'constant':
-            return 0
         if not hasattr(self, '_pad_min'):
-            from .streaming import StreamingCodec
-            self._pad_min = StreamingCodec(self.model).min_first_chunk_samples
+            from .lengthpad import pad_min_samples
+            self._pad_min = pad_min_samples(self.model)
         return self._pad_min
 
 

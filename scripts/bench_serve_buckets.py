@@ -121,14 +121,12 @@ def main():
                              max_wait_ms=args.max_wait_ms,
                              length_buckets=lb).start()
         try:
-            base = dict(server._stats)
             dt, _ = drive(server, clips, args.threads)
             s = server.stats()
         finally:
             server.stop()
-        batches = s['batches'] - base['batches']
-        mean_b = ((s['batched_items'] - base['batched_items'])
-                  / max(1, batches))
+        batches = s['batches']
+        mean_b = s['mean_batch']
         print(f'| {label} | {dt:.2f} s | {total_audio_s / dt:.0f} | '
               f'{mean_b:.2f} | {batches} |', flush=True)
 

@@ -99,10 +99,16 @@ def main(argv=None):
         train_wavs = _load_dir('train')
         test_wavs = _load_dir('test')
         n_crop = int(sr * args.seconds)
+        shortest = min(w.shape[-1] for w in train_wavs + test_wavs)
+        if shortest < n_crop:
+            raise SystemExit(
+                f'--seconds {args.seconds:g} needs {n_crop} samples but the '
+                f'shortest speech clip has {shortest}; regenerate the set '
+                f'with a larger --seconds or lower this one')
 
         def draw_clip(r, _sr, _seconds, pool=train_wavs):
             w = pool[r.randint(len(pool))]
-            t0 = r.randint(0, max(1, w.shape[-1] - n_crop))
+            t0 = r.randint(0, w.shape[-1] - n_crop + 1)
             return w[:, t0:t0 + n_crop].astype(np.float32)
     else:
         draw_clip = make_clip

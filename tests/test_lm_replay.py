@@ -137,5 +137,18 @@ def test_get_lm_model_torch_backend(tmp_path):
     with pytest.raises(ValueError, match='fused'):
         C.compress(model, variables, wav, use_lm=True, lm=lm, lm_fused=True)
 
+    # a fused1 stream must refuse the replay backend LOUDLY on decode too
+    from encodec_pytorch_tpu.models.lm import LMModel
+    jax_lm = C.LM(LMModel(n_q=2, card=1024, dim=32, num_heads=4,
+                          num_layers=1, past_context=24),
+                  LMModel(n_q=2, card=1024, dim=32, num_heads=4,
+                          num_layers=1, past_context=24).init(
+                      jax.random.PRNGKey(5),
+                      jnp.zeros((1, 2, 1), jnp.int32))['params'])
+    fused = C.compress(model, variables, wav, use_lm=True, lm=jax_lm,
+                       lm_fused=True)
+    with pytest.raises(ValueError, match='fused1'):
+        C.decompress(model, variables, fused, lm=lm)
+
     with pytest.raises(ValueError, match='torch'):
         C.get_lm_model(model, checkpoint='x.msgpack', backend='torch')

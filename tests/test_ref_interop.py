@@ -29,7 +29,6 @@ What is provable, and how hard, differs by path:
 """
 
 import io
-import sys
 
 import numpy as np
 import pytest
@@ -124,7 +123,7 @@ def wav():
 
 
 def _ref_compress(ref, wav_np, use_lm):
-    sys.path.insert(0, '/root/reference') if '/root/reference' not in sys.path else None
+    ref_path()
     import compress as ref_compress_mod
     fo = io.BytesIO()
     ref_compress_mod.compress_to_file(ref, torch.from_numpy(wav_np), fo,
