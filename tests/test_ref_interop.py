@@ -268,3 +268,122 @@ def test_lm_cdf_grid_agreement(pair):
             max_delta = max(max_delta, int(np.abs(ct - cj).max()))
     # fp-noise scale; a conversion bug would be ~1e6
     assert max_delta < 1000, max_delta
+
+
+# ----------------------------------------------- 48 kHz-style segmented
+
+
+@pytest.fixture(scope='module')
+def pair_seg():
+    """48k-released-FAMILY properties (stereo, non-causal time_group_norm,
+    normalize, overlapped 0.5 s segments) at 24 kHz rate / small widths so
+    the CPU tests stay fast — the container format under test is
+    rate-independent."""
+    ref_model_mod, ref_m, ref_qt = _ref_modules()
+    torch.manual_seed(42)
+    enc = ref_m.SEANetEncoder(channels=2, norm='time_group_norm',
+                              causal=False, n_filters=N_FILTERS)
+    dec = ref_m.SEANetDecoder(channels=2, norm='time_group_norm',
+                              causal=False, n_filters=N_FILTERS)
+    q = ref_qt.ResidualVectorQuantizer(dimension=enc.dimension, n_q=N_Q,
+                                       bins=1024)
+    ref = ref_model_mod.EncodecModel(
+        enc, dec, q, target_bandwidths=[BW], sample_rate=24000, channels=2,
+        normalize=True, segment=0.5, overlap=0.01, name='encodec_48khz')
+    for layer in ref.quantizer.vq.layers:
+        cb = layer._codebook
+        cb.embed.normal_()
+        cb.embed_avg.copy_(cb.embed)
+        cb.cluster_size.fill_(1.0)
+        cb.inited.fill_(1)
+    ref.eval()
+    ref.set_target_bandwidth(BW)
+
+    from encodec_pytorch_tpu.models.model import (
+        EncodecModel, variables_from_torch_state_dict)
+    ours = EncodecModel._get_model(
+        [BW], 24000, 2, causal=False, model_norm='time_group_norm',
+        audio_normalize=True, segment=0.5, n_q=N_Q, n_filters=N_FILTERS,
+        name='encodec_48khz')
+    variables = variables_from_torch_state_dict(ours, to_numpy_sd(ref))
+    ours.set_target_bandwidth(BW)
+    return ref, ours, variables
+
+
+@pytest.fixture(scope='module')
+def wav_stereo():
+    L = 35760   # 3 full overlapped segments + the unavoidable ragged tail
+    rng = np.random.RandomState(5)
+    t = np.arange(L) / 24000
+    mono = (0.4 * np.sin(2 * np.pi * 310 * t)
+            + 0.1 * rng.randn(L)).astype(np.float32)
+    return np.stack([mono, 0.8 * mono])
+
+
+def test_segmented_codes_exact_scales_ulp(pair_seg, wav_stereo):
+    """Per-segment code indices are bit-identical across runtimes; the
+    normalization scale (1e-8 + rms, reference model.py:152-157) is a
+    float reduction and may differ in the last ulp — which is exactly why
+    segmented streams are 'byte-identical up to scale floats', not
+    byte-identical (the next test)."""
+    ref, ours, variables = pair_seg
+    with torch.no_grad():
+        rf = ref.encode(torch.from_numpy(wav_stereo)[None])
+    jf = ours.encode(variables, jnp.asarray(wav_stereo[None]))
+    assert len(rf) == len(jf) == 4   # incl. the 120-sample ragged tail
+    for (rc, rs), (jc, js) in zip(rf, jf):
+        np.testing.assert_array_equal(np.asarray(jc), rc.numpy())
+        np.testing.assert_allclose(np.asarray(js).reshape(-1),
+                                   rs.numpy().reshape(-1), rtol=1e-6)
+
+
+def test_segmented_streams_identical_up_to_scale_ulp(pair_seg, wav_stereo):
+    """The packed streams differ ONLY inside the four 4-byte scale floats
+    (≤ 1 ulp each); every header and code byte is identical."""
+    from encodec_pytorch_tpu import compress as our_compress_mod
+    ref, ours, variables = pair_seg
+    ref_bytes = _ref_compress(ref, wav_stereo, use_lm=False)
+    our_bytes = our_compress_mod.compress(ours, variables, wav_stereo)
+    assert len(ref_bytes) == len(our_bytes)
+    diffs = [i for i, (a, b) in enumerate(zip(ref_bytes, our_bytes))
+             if a != b]
+    # each differing byte must lie inside one of the scale floats: locate
+    # them by walking the container (header, then per frame: 4-byte scale
+    # + fixed-size packed payload)
+    from encodec_pytorch_tpu.bitstream import binary
+    import struct
+    fi = io.BytesIO(ref_bytes)
+    md = binary.read_ecdc_header(fi)
+    scale_spans = []
+    pos = fi.tell()
+    for tf in (38, 38, 38, 1):        # 3 full segments + ragged tail
+        scale_spans.append(range(pos, pos + 4))
+        pos += 4 + (md['nc'] * tf * 10 + 7) // 8
+    assert pos == len(ref_bytes)
+    for d in diffs:
+        assert any(d in span for span in scale_spans), \
+            f'non-scale byte {d} differs'
+
+
+def test_segmented_ref_file_we_decode_reference_cannot(pair_seg,
+                                                       wav_stereo):
+    """The overlap segmentation ALWAYS leaves a shorter ragged tail
+    (stride < segment), and the reference decoder reads the header 'fr'
+    frames for EVERY segment — so it cannot decode its own segmented
+    files (EOFError; reference compress.py:122-123,137-150). Ours
+    computes per-segment frame lengths and decodes the reference's file;
+    the result matches decoding our own byte-equal-modulo-scale stream."""
+    from encodec_pytorch_tpu import compress as our_compress_mod
+    ref, ours, variables = pair_seg
+    ref_bytes = _ref_compress(ref, wav_stereo, use_lm=False)
+
+    ref_path()
+    import compress as ref_compress_mod
+    with pytest.raises(EOFError):
+        ref_compress_mod.decompress(ref, ref_bytes, device='cpu')
+
+    out, sr = our_compress_mod.decompress(ours, variables, ref_bytes)
+    assert sr == 24000 and out.shape == wav_stereo.shape
+    our_bytes = our_compress_mod.compress(ours, variables, wav_stereo)
+    out2, _ = our_compress_mod.decompress(ours, variables, our_bytes)
+    np.testing.assert_allclose(out, out2, atol=1e-5)
