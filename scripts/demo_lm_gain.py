@@ -48,6 +48,13 @@ def main(argv=None):
     p.add_argument('--batch', type=int, default=8)
     p.add_argument('--seconds', type=float, default=2.0)
     p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--codec-ckpt', default='',
+                   help='trainer save_folder of a TRAINED codec to use '
+                        'instead of the random-weight toy codec — with '
+                        '--speech-dir this reproduces the round-4 '
+                        'trained-on-trained −20.1%% speech number '
+                        '(PERF_NOTES)')
+    p.add_argument('--bandwidth', type=float, default=3.0)
     p.add_argument('--speech-dir', default='',
                    help='root of a make_speech_set.py output: train on '
                         'random crops of <dir>/train/*.wav and evaluate on '
@@ -65,16 +72,36 @@ def main(argv=None):
 
     print(f'# devices: {jax.devices()}', flush=True)
     sr = 24_000
-    model = EncodecModel._get_model(
-        [3.], sr, 1, causal=True, model_norm='weight_norm',
-        audio_normalize=False, segment=None, name='my_encodec',
-        n_filters=8, n_q=4)
-    model.set_target_bandwidth(3.)
-    variables = model.init(jax.random.PRNGKey(0), example_length=sr)
-    variables['quantizer'] = variables['quantizer']._replace(
-        inited=jnp.ones_like(variables['quantizer'].inited),
-        embed=jax.random.normal(jax.random.PRNGKey(1),
-                                variables['quantizer'].embed.shape))
+    if args.codec_ckpt:
+        from encodec_pytorch_tpu.config import load_config
+        from encodec_pytorch_tpu.train.balancer import Balancer
+        from encodec_pytorch_tpu.train.checkpoint import (latest_checkpoint,
+                                                          load_checkpoint)
+        from encodec_pytorch_tpu.train.step import init_train_state
+        from encodec_pytorch_tpu.train.trainer import (
+            build_disc_from_config, build_model_from_config)
+        config = load_config('config', [])
+        model = build_model_from_config(config)
+        template = init_train_state(
+            model, build_disc_from_config(config),
+            Balancer(dict(config.balancer.weights)), jax.random.PRNGKey(0),
+            example_length=int(config.datasets.tensor_cut))
+        state, epoch = load_checkpoint(latest_checkpoint(args.codec_ckpt),
+                                       template)
+        variables = {'params': state.params_g, 'quantizer': state.quantizer}
+        print(f'# codec: {args.codec_ckpt} (epoch {epoch})', flush=True)
+        model.set_target_bandwidth(args.bandwidth)
+    else:
+        model = EncodecModel._get_model(
+            [3.], sr, 1, causal=True, model_norm='weight_norm',
+            audio_normalize=False, segment=None, name='my_encodec',
+            n_filters=8, n_q=4)
+        model.set_target_bandwidth(3.)
+        variables = model.init(jax.random.PRNGKey(0), example_length=sr)
+        variables['quantizer'] = variables['quantizer']._replace(
+            inited=jnp.ones_like(variables['quantizer'].inited),
+            embed=jax.random.normal(jax.random.PRNGKey(1),
+                                    variables['quantizer'].embed.shape))
 
     trainer = lm_trainer.LMTrainer(
         model, variables, lr=1e-3, warmup_steps=30, total_steps=args.steps,

@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument('--bandwidth', type=float, default=24.)
     p.add_argument('--config', default='config')
     p.add_argument('--max-clips', type=int, default=0, help='0 = all')
+    p.add_argument('--weights', default='raw', choices=['raw', 'fold', 'int8'],
+                   help='evaluate through the serving preparation ladder '
+                        '(prepare.py): weight-norm folding or int8 '
+                        'weight-only quantization')
     p.add_argument('overrides', nargs='*', default=[])
     args, extra = p.parse_known_args(argv)
     overrides = list(args.overrides) + list(extra)
@@ -58,6 +62,12 @@ def main(argv=None):
         raise SystemExit(f'no .ckpt under {args.run_folder}')
     state, epoch = load_checkpoint(path, template)
     variables = {'params': state.params_g, 'quantizer': state.quantizer}
+    dequant = False
+    if args.weights != 'raw':
+        from encodec_pytorch_tpu.prepare import prepare_for_inference
+        model, variables = prepare_for_inference(model, variables,
+                                                 weights=args.weights)
+        dequant = args.weights == 'int8'
     model.set_target_bandwidth(args.bandwidth)
 
     wavs = sorted(Path(args.wav_dir).glob('*.wav'))
@@ -67,13 +77,17 @@ def main(argv=None):
     for w in wavs:
         wav, sr = read_wav(w)
         assert sr == model.sample_rate, (sr, model.sample_rate)
-        out = np.asarray(model(variables, jnp.asarray(wav[None])))[0]
+        v = variables
+        if dequant:   # int8 trees dequantize in-program (prepare.py)
+            from encodec_pytorch_tpu.prepare import dequantize_weights
+            v = dict(variables, params=dequantize_weights(variables['params']))
+        out = np.asarray(model(v, jnp.asarray(wav[None])))[0]
         rows.append((M.mel_distance(wav[0], out[0], sr),
                      M.stoi(wav[0], out[0], sr),
                      M.si_snr(wav[0], out[0])))
     mel, st, snr = (float(np.mean([r[i] for r in rows])) for i in range(3))
     print(f'# {path} (epoch {epoch}), {len(rows)} clips @ bw '
-          f'{args.bandwidth:g}')
+          f'{args.bandwidth:g}, weights={args.weights}')
     print('| mel-dist | STOI | SI-SNR |')
     print('|---|---|---|')
     print(f'| {mel:.4f} | {st:.4f} | {snr:.2f} |')
