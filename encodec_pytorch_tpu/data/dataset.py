@@ -31,7 +31,8 @@ class CustomAudioDataset:
     fixed_length}`` and ``model.{sample_rate,channels}``.
     """
 
-    def __init__(self, config, transform=None, mode: str = 'train'):
+    def __init__(self, config, transform=None, mode: str = 'train',
+                 seed: Optional[int] = None):
         assert mode in ['train', 'test'], "dataset mode must be 'train' or 'test'"
         self.mode = mode
         if mode == 'train':
@@ -46,6 +47,22 @@ class CustomAudioDataset:
         self.sample_rate = int(config.model.sample_rate)
         self.channels = int(config.model.channels)
         self.rng = random.Random()
+        # seed ≠ None keys every crop by (seed, epoch, index) instead of a
+        # stateful stream, so crop positions are reproducible across process
+        # restarts — what makes mid-epoch preemption resume trajectory-exact
+        # (tests/test_preemption_resume.py). The trainer passes
+        # config.common.seed; standalone use stays nondeterministic.
+        self.seed = None if seed is None else int(seed)
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
+
+    def _crop_rng(self, idx: int) -> random.Random:
+        if self.seed is None:
+            return self.rng
+        return random.Random(
+            (self.seed * 1_000_003 + self.epoch) * 1_000_003 + idx)
 
     def __len__(self):
         if self.fixed_length and len(self.audio_files) > self.fixed_length:
@@ -86,7 +103,8 @@ class CustomAudioDataset:
                                        'load') from exc
                 idx = self.rng.randrange(len(self.audio_files))
         if self.tensor_cut > 0 and wav.shape[1] > self.tensor_cut:
-            start = self.rng.randrange(0, wav.shape[1] - self.tensor_cut)
+            start = self._crop_rng(idx).randrange(
+                0, wav.shape[1] - self.tensor_cut)
             wav = wav[:, start:start + self.tensor_cut]
         return wav
 
@@ -150,6 +168,8 @@ class DataLoader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        if hasattr(self.dataset, 'set_epoch'):
+            self.dataset.set_epoch(epoch)   # epoch-keyed deterministic crops
 
     def __len__(self):
         n = len(self.dataset) // self.num_shards

@@ -29,7 +29,8 @@ class MultiChannelAudioDataset:
     """config needs ``datasets.{data_root,tensor_cut,fixed_length}`` and
     ``model.{sample_rate,channels}`` (multi_channel_dataset.py:19-56)."""
 
-    def __init__(self, config, transform=None, mode: str = 'train'):
+    def __init__(self, config, transform=None, mode: str = 'train',
+                 seed: Optional[int] = None):
         assert mode in ['train', 'test'], 'dataset mode must be train or test'
         self.data_root = config.datasets.data_root
         self.sample_rate = int(config.model.sample_rate)
@@ -38,6 +39,13 @@ class MultiChannelAudioDataset:
         self.fixed_length = int(config.datasets.fixed_length or 0)
         self.transform = transform
         self.mode = mode
+        # seed ≠ None keys the per-sample channel/window/crop draws by
+        # (seed, epoch, index) — reproducible across restarts, enabling
+        # step-accurate preemption resume (same contract as
+        # CustomAudioDataset; the reference uses the global `random` stream,
+        # multi_channel_dataset.py:116-123, which is position-dependent)
+        self.seed = None if seed is None else int(seed)
+        self.epoch = 0
         self.folders = TRAIN_FOLDERS if mode == 'train' else TEST_FOLDERS
 
         self.audio_files = []
@@ -74,6 +82,18 @@ class MultiChannelAudioDataset:
                               start_time=start_time, sample_rate=sr))
         return fixed
 
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
+
+    def _draw_rng(self, idx: int, salt: int = 0):
+        """Per-(seed, epoch, index) RNG when seeded; the module stream
+        otherwise (reference behavior). ``salt`` decorrelates independent
+        draw sites sharing an index (window draw vs crop draw)."""
+        if self.seed is None:
+            return random
+        return random.Random(
+            ((self.seed * 1_000_003 + self.epoch) * 1_000_003 + idx) * 7 + salt)
+
     def get(self, idx: Optional[int] = None):
         """Uncropped 1-second mono segment with random channel selection
         (multi_channel_dataset.py:89-157)."""
@@ -89,12 +109,13 @@ class MultiChannelAudioDataset:
                 start_time = seg['start_time']
                 sample_rate = seg['sample_rate']
             else:
+                rng = self._draw_rng(idx)
                 audio_path = self.audio_files[idx % len(self.audio_files)]
                 sr, n_frames, n_channels = wav_info(audio_path)
                 file_duration = n_frames / sr
-                channel_idx = random.randint(0, min(31, n_channels - 1))
+                channel_idx = rng.randint(0, min(31, n_channels - 1))
                 max_start_time = max(0, file_duration - 1.0)
-                start_time = random.uniform(0, max_start_time)
+                start_time = rng.uniform(0, max_start_time)
                 sample_rate = sr
 
             wav, sample_rate = read_wav(audio_path,
@@ -120,6 +141,7 @@ class MultiChannelAudioDataset:
         if self.transform:
             waveform = self.transform(waveform)
         if self.tensor_cut > 0 and waveform.shape[1] > self.tensor_cut:
-            start = random.randint(0, waveform.shape[1] - self.tensor_cut - 1)
+            start = self._draw_rng(idx, salt=1).randint(
+                0, waveform.shape[1] - self.tensor_cut - 1)
             waveform = waveform[:, start:start + self.tensor_cut]
         return waveform

@@ -187,19 +187,43 @@ def _row_col_normalize(seg: np.ndarray, eps: float) -> np.ndarray:
 
 # -------------------------------------------------- optional C-library wraps
 
+_PESQ_RATE = 16000   # both reference calls score at 16 kHz (cal_metrics.py:66)
+_PESQ_MODES = ('wb', 'nb')
+
+
+def _pesq_prepare(reference: np.ndarray, estimate: np.ndarray,
+                  sample_rate: int) -> tuple:
+    """The deterministic pre-processing `pesq_score` applies before handing
+    off to the C library: flatten, polyphase-resample both signals to the
+    16 kHz PESQ rate, trim to the common length. Split out so it can be
+    golden-tested without the (optional) `pesq` package installed."""
+    x = resample(np.asarray(reference).reshape(-1), sample_rate, _PESQ_RATE)
+    y = resample(np.asarray(estimate).reshape(-1), sample_rate, _PESQ_RATE)
+    n = min(len(x), len(y))
+    return x[:n], y[:n]
+
+
+def _load_pesq():
+    """Import hook for the optional `pesq` C extension; tests substitute a
+    recorded oracle here (tests/test_metrics_wrappers.py)."""
+    from pesq import pesq as _pesq
+    return _pesq
+
+
 def pesq_score(reference: np.ndarray, estimate: np.ndarray, sample_rate: int,
                mode: str = 'wb') -> Optional[float]:
     """ITU-T PESQ via the `pesq` package (cal_metrics.py:65-72); resamples to
-    16 kHz. Returns None when the package is unavailable."""
+    16 kHz. Returns None when the package is unavailable. Library errors
+    (e.g. NoUtterancesError on silent input) propagate — matching the
+    reference, which calls the library unguarded."""
+    if mode not in _PESQ_MODES:
+        raise ValueError(f"mode must be one of {_PESQ_MODES}, got {mode!r}")
     try:
-        from pesq import pesq as _pesq
+        _pesq = _load_pesq()
     except ImportError:
         return None
-    target = 16000
-    x = resample(np.asarray(reference).reshape(-1), sample_rate, target)
-    y = resample(np.asarray(estimate).reshape(-1), sample_rate, target)
-    n = min(len(x), len(y))
-    return float(_pesq(target, x[:n], y[:n], mode))
+    x, y = _pesq_prepare(reference, estimate, sample_rate)
+    return float(_pesq(_PESQ_RATE, x, y, mode))
 
 
 def visqol_score(reference: np.ndarray, estimate: np.ndarray,

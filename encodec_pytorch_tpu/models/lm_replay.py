@@ -169,14 +169,36 @@ class TorchReplayLM:
 
 
 def replay_lm_from_checkpoint(path: str, n_q: int, card: int = 1024,
-                              dim: int = 200, num_layers: int = 5,
+                              dim: tp.Optional[int] = None,
+                              num_layers: tp.Optional[int] = None,
                               num_heads: int = 8,
                               past_context: int = 1000) -> TorchReplayLM:
     """Load a reference-format torch LM checkpoint (.th state dict, the
     file get_lm_model downloads — reference model.py:221-240) as a replay
-    backend."""
+    backend.
+
+    ``dim``/``num_layers`` default to the shapes found in the state dict
+    (``emb.0.weight`` columns / count of ``transformer.layers.{i}.``
+    prefixes); passing values that disagree with the dict raises instead
+    of silently ignoring extra layers (which would yield wrong
+    probabilities and an undiagnosable range-coder desync)."""
     import torch
-    sd = torch.load(path, map_location='cpu', weights_only=False)
+    # reference-format .th files are plain tensor state dicts; load them
+    # without unpickling arbitrary objects
+    sd = torch.load(path, map_location='cpu', weights_only=True)
+    found_layers = len({int(k.split('.')[2]) for k in sd
+                        if k.startswith('transformer.layers.')})
+    found_dim = int(sd['emb.0.weight'].shape[1])
+    if num_layers is None:
+        num_layers = found_layers
+    elif num_layers != found_layers:
+        raise ValueError(f'num_layers={num_layers} but checkpoint has '
+                         f'{found_layers} transformer layers')
+    if dim is None:
+        dim = found_dim
+    elif dim != found_dim:
+        raise ValueError(f'dim={dim} but checkpoint emb.0.weight has '
+                         f'dim {found_dim}')
     return TorchReplayLM(sd, n_q=n_q, card=card, dim=dim,
                          num_layers=num_layers, num_heads=num_heads,
                          past_context=past_context)

@@ -49,9 +49,15 @@ class LiveCodec:
     """
 
     def __init__(self, model, variables,
-                 default_bandwidth: Optional[float] = None):
+                 default_bandwidth: Optional[float] = None,
+                 segment_major: Optional[bool] = None):
         self.model = model
         self.variables = variables
+        # None → auto: segment-major batching for segmented models (flatten
+        # the S per-segment subgraphs into the batch axis — fixes the 48 kHz
+        # B>1 aggregate regression, docs/PERF_NOTES.md); False restores the
+        # reference-shaped per-frame loop
+        self.segment_major = segment_major
         # snapshot a CONCRETE default: requests with bandwidth=None must not
         # depend on what earlier requests set the (shared, mutable) model to
         # — and a None default would trace with whatever bandwidth the last
@@ -78,11 +84,12 @@ class LiveCodec:
                 from .prepare import dequantize_weights
                 vars_ = dict(variables,
                              params=dequantize_weights(variables['params']))
+                sm = self.segment_major
                 if kind == 'encode':
-                    return _encode_fn(model, vars_)(*args)
+                    return _encode_fn(model, vars_, segmajor=sm)(*args)
                 if kind == 'roundtrip':
-                    return _roundtrip_fn(model, vars_)(*args)
-                return _decode_fn(model, vars_, length)(*args)
+                    return _roundtrip_fn(model, vars_, segmajor=sm)(*args)
+                return _decode_fn(model, vars_, length, segmajor=sm)(*args)
 
             fn = jax.jit(build)
             self._jitted[key] = fn
@@ -231,6 +238,19 @@ class CodecServer:
             # requests fall back to exact-shape keying
             self._min_len = int(getattr(backend, 'length_pad_min_samples',
                                         0))
+            if (self._min_len < 0
+                    and not getattr(backend, 'length_pad_exact', False)):
+                # -1 = lengthpad's streaming walker could not analyze the
+                # architecture, so the short-input horizon below which
+                # tail-exactness fails is unknown; refuse bucketing
+                # (lengthpad.py docstring) instead of silently serving
+                # non-exact results — same gate DeployedCodec applies
+                # (deploy.py length_pad_tail_exact)
+                raise ValueError(
+                    'length_buckets: backend reports '
+                    'length_pad_min_samples < 0 (short-input exactness '
+                    'horizon unknown) on a tail-exact-only backend; '
+                    'refusing length bucketing')
         self._queue: collections.deque = collections.deque()
         self._cv = threading.Condition()
         self._stop = False

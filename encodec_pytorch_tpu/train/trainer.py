@@ -111,9 +111,13 @@ def build_disc_from_config(config: Config) -> MultiScaleSTFTDiscriminator:
 
 def build_dataset(config: Config, mode: str):
     kind = str(config.datasets.get('dataset', 'csv'))
+    # (seed, epoch, index)-keyed sample randomness: crop/window positions are
+    # reproducible across process restarts, which is what makes mid-epoch
+    # preemption resume trajectory-exact (tests/test_preemption_resume.py)
+    seed = config.common.seed
     if kind == 'multi_channel':
-        return MultiChannelAudioDataset(config, mode=mode)
-    return CustomAudioDataset(config, mode=mode)
+        return MultiChannelAudioDataset(config, mode=mode, seed=seed)
+    return CustomAudioDataset(config, mode=mode, seed=seed)
 
 
 class Trainer:
@@ -262,6 +266,13 @@ class Trainer:
                                       jax.random.PRNGKey(int(config.common.seed or 0)),
                                       example_length=self.tensor_cut)
         self.resume_epoch = 0
+        # mid-epoch (preemption) checkpoints: epoch label = completed epochs,
+        # state.step = optimizer steps actually taken. When they disagree the
+        # first resumed epoch skips the batches the interrupted run already
+        # consumed — with (seed, epoch, idx)-keyed crops and fold_in(rng,
+        # state.step) step randomness this makes resume trajectory-exact
+        # (tests/test_preemption_resume.py)
+        self._resume_skip = (0, 0)   # (epoch to skip in, batches to skip)
         if bool(config.checkpoint.resume):
             ckpt_path = str(config.checkpoint.checkpoint_path)
             assert ckpt_path, "resume path is empty"
@@ -270,6 +281,16 @@ class Trainer:
                 raise ValueError(
                     f"resume epoch {self.resume_epoch} is larger than total "
                     f"epochs {config.common.max_epoch}")
+            done_in_epoch = (int(np.asarray(self.state.step))
+                             - self.resume_epoch * steps_per_epoch)
+            if done_in_epoch > 0:
+                self._resume_skip = (self.resume_epoch + 1,
+                                     min(done_in_epoch, steps_per_epoch))
+                logger.info(
+                    "mid-epoch checkpoint: epoch %d already consumed %d/%d "
+                    "batches — they will be skipped on resume",
+                    self.resume_epoch + 1, self._resume_skip[1],
+                    steps_per_epoch)
             logger.info("loaded checkpoint, resume from epoch %d",
                         self.resume_epoch)
         self.state = jax.device_put(self.state, repl)
@@ -334,8 +355,14 @@ class Trainer:
         disc_allowed = jax.device_put(jnp.asarray(
             self.disc_prob > 0 and epoch >= self.warmup_epoch), self._repl)
         log_interval = int(cfg.common.log_interval)
+        skip = self._resume_skip[1] if epoch == self._resume_skip[0] else 0
+        if skip:
+            logger.info("epoch %d: skipping %d already-consumed batches "
+                        "(mid-epoch resume)", epoch, skip)
         t0 = time.time()
         for idx, batch in enumerate(self.trainloader):
+            if idx < skip:
+                continue
             if self.profile_dir and epoch == 1 and idx == 2:
                 jax.profiler.start_trace(self.profile_dir)
                 self._profiling = True
@@ -440,11 +467,11 @@ class Trainer:
         except Exception as exc:
             logger.warning('reconstruction demo failed: %s', exc)
 
-    def save(self, epoch: int):
+    def save(self, epoch: int, suffix: str = ''):
         if not self.is_main:
             return  # state is replicated; process 0 owns the checkpoint
         cfg = self.config
-        path = (f"{cfg.checkpoint.save_location}epoch{epoch}_"
+        path = (f"{cfg.checkpoint.save_location}epoch{epoch}{suffix}_"
                 f"lr{cfg.optimization.lr}.ckpt")
         async_write = True
         if 'tpu' in cfg:
@@ -484,7 +511,12 @@ class Trainer:
                 logger.warning('received signal %s — non-main process, '
                                'process 0 owns the checkpoint', signum)
             try:
-                self.save(current_epoch[0])
+                # distinct name: the live state may be MID-epoch (label =
+                # completed epochs, state.step = steps taken); it must not
+                # overwrite the clean boundary checkpoint of that epoch.
+                # Resume from it is step-accurate: the first resumed epoch
+                # skips the already-consumed batches (train_one_epoch)
+                self.save(current_epoch[0], suffix='_preempt')
                 wait_pending()  # the write must land before we die
             finally:
                 raise SystemExit(128 + signum)
