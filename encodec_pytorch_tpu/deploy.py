@@ -57,11 +57,24 @@ def _n_frames(model, length: int) -> int:
     return len(range(0, length, model.segment_stride))
 
 
-def _encode_fn(model, variables):
+def _segmajor_default(model) -> bool:
+    """Serving builders default to segment-major batching for segmented
+    models (models/model.py encode_segmajor: S per-segment subgraphs → one
+    batched subgraph; fixes the measured 48 kHz B>1 aggregate-RTF
+    regression). Single-frame models are unaffected (it is the identity
+    there)."""
+    return model.segment is not None
+
+
+def _encode_fn(model, variables, segmajor: Optional[bool] = None):
     # per-frame tuples, NOT a stacked array: with overlap the last segment
     # is usually shorter, so frame code lengths differ
+    if segmajor is None:
+        segmajor = _segmajor_default(model)
+    encode = model.encode_segmajor if segmajor else model.encode
+
     def f(x):
-        frames = model.encode(variables, x)
+        frames = encode(variables, x)
         codes = tuple(c for c, _ in frames)
         if model.normalize:
             return codes, tuple(s for _, s in frames)
@@ -69,21 +82,33 @@ def _encode_fn(model, variables):
     return f
 
 
-def _decode_fn(model, variables, out_length: int):
+def _decode_fn(model, variables, out_length: int,
+               segmajor: Optional[bool] = None):
+    if segmajor is None:
+        segmajor = _segmajor_default(model)
+    decode = model.decode_segmajor if segmajor else model.decode
     if model.normalize:
         def f(codes, scales):
-            return model.decode(
+            return decode(
                 variables, list(zip(codes, scales)))[:, :, :out_length]
     else:
         def f(codes):
-            return model.decode(
+            return decode(
                 variables, [(c, None) for c in codes])[:, :, :out_length]
     return f
 
 
-def _roundtrip_fn(model, variables):
+def _roundtrip_fn(model, variables, segmajor: Optional[bool] = None):
+    if segmajor is None:
+        segmajor = _segmajor_default(model)
+    if not segmajor:
+        def f(x):
+            return model(variables, x)
+        return f
+
     def f(x):
-        return model(variables, x)
+        frames = model.encode_segmajor(variables, x)
+        return model.decode_segmajor(variables, frames)[:, :, :x.shape[-1]]
     return f
 
 
@@ -92,6 +117,7 @@ def export_entries(model, variables,
                    bandwidths: Optional[Sequence[float]] = None,
                    platforms: Sequence[str] = _PLATFORMS,
                    kinds: Sequence[str] = ('encode', 'decode', 'roundtrip'),
+                   segment_major: Optional[bool] = None,
                    ) -> Tuple[Dict[str, Any], List[dict]]:
     """Export encode/decode/roundtrip programs for every (bandwidth, length).
 
@@ -104,6 +130,8 @@ def export_entries(model, variables,
     bad_kinds = set(kinds) - {'encode', 'decode', 'roundtrip'}
     if bad_kinds:
         raise ValueError(f"unknown kinds {sorted(bad_kinds)}")
+    if segment_major is None:
+        segment_major = _segmajor_default(model)
     if bandwidths is None:
         bandwidths = [model.bandwidth if model.bandwidth is not None
                       else model.target_bandwidths[-1]]
@@ -124,7 +152,7 @@ def export_entries(model, variables,
             # flatten order of (codes_tuple[, scales_tuple]) puts the F
             # code avals first
             out_shapes = jax.tree.leaves(jax.eval_shape(
-                _encode_fn(model, variables),
+                _encode_fn(model, variables, segmajor=segment_major),
                 jax.ShapeDtypeStruct((1, model.channels, length),
                                      jnp.float32)))
             frame_tfs = [int(a.shape[-1]) for a in out_shapes[:n_frames]]
@@ -135,7 +163,8 @@ def export_entries(model, variables,
             if 'encode' in kinds:
                 enc_name = f'encode_bw{bw:g}_t{length}'
                 exported[enc_name] = jax_export.export(
-                    jax.jit(_encode_fn(model, variables)),
+                    jax.jit(_encode_fn(model, variables,
+                                       segmajor=segment_major)),
                     platforms=tuple(platforms))(x_spec)
                 entries.append({'name': enc_name, 'kind': 'encode',
                                 **common})
@@ -145,7 +174,8 @@ def export_entries(model, variables,
                 codes_spec = tuple(
                     jax.ShapeDtypeStruct((*b, n_q, tf), jnp.int32)
                     for tf in frame_tfs)
-                dec_fn = _decode_fn(model, variables, length)
+                dec_fn = _decode_fn(model, variables, length,
+                                    segmajor=segment_major)
                 if model.normalize:
                     scales_spec = tuple(
                         jax.ShapeDtypeStruct((*b, 1), jnp.float32)
@@ -164,7 +194,8 @@ def export_entries(model, variables,
             if 'roundtrip' in kinds:
                 rt_name = f'roundtrip_bw{bw:g}_t{length}'
                 exported[rt_name] = jax_export.export(
-                    jax.jit(_roundtrip_fn(model, variables)),
+                    jax.jit(_roundtrip_fn(model, variables,
+                                          segmajor=segment_major)),
                     platforms=tuple(platforms))(x_spec)
                 entries.append({'name': rt_name, 'kind': 'roundtrip',
                                 **common})
@@ -179,10 +210,12 @@ def save_artifact(path, model, variables,
                   bandwidths: Optional[Sequence[float]] = None,
                   platforms: Sequence[str] = _PLATFORMS,
                   kinds: Sequence[str] = ('encode', 'decode', 'roundtrip'),
+                  segment_major: Optional[bool] = None,
                   ) -> dict:
     """Export and write a deployment zip. Returns the meta dict."""
     exported, entries = export_entries(model, variables, lengths,
-                                       bandwidths, platforms, kinds)
+                                       bandwidths, platforms, kinds,
+                                       segment_major=segment_major)
     meta = {
         'format_version': FORMAT_VERSION,
         'model_name': model.name,

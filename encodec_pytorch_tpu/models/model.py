@@ -175,6 +175,95 @@ class EncodecModel:
                   for frame in encoded_frames]
         return linear_overlap_add(frames, self.segment_stride or 1)
 
+    # ----------------------------------------------- segment-major batching
+
+    def encode_segmajor(self, variables, x: jnp.ndarray) -> List[EncodedFrame]:
+        """Same contract as :meth:`encode`, but all FULL-length segments run
+        through ONE batched ``_encode_frame`` call ([B, C, T] windows →
+        [B·S, C, L] on the batch axis), leaving at most the ragged tail
+        segment(s) as separate calls.
+
+        Why: the per-frame loop (reference model.py:109-120) unrolls into S
+        independent per-segment subgraphs at trace time. At batch 1 XLA
+        overlaps them (~1.8× cross-segment ILP on chip), but that overlap
+        vanishes once the per-segment footprint grows with batch — measured
+        on the 48 kHz family as B=4 aggregate throughput REGRESSING below
+        B=1 (docs/PERF_NOTES.md "48 kHz stereo family on chip"). Flattening
+        segments into the batch axis turns S small convolution subgraphs
+        into one large one, which is how the MXU wants the work shaped.
+
+        Numerics: each segment sees the identical math (per-segment
+        normalization is already per-batch-item); only the batch dimension
+        of the compiled program changes, so results match the per-frame
+        path to XLA reduction-order fp noise (exact on most shapes — a code
+        index could in principle flip on an exact argmin tie, the same
+        caveat as serve-time length bucketing). The `.ecdc` compress path
+        keeps calling :meth:`encode`.
+        """
+        assert x.ndim == 3
+        B, channels, length = x.shape
+        assert 0 < channels <= 2
+        segment_length = self.segment_length
+        if segment_length is None:
+            return self.encode(variables, x)
+        stride = self.segment_stride or 1
+        offsets = list(range(0, length, stride))
+        full = [o for o in offsets if o + segment_length <= length]
+        tail = [o for o in offsets if o + segment_length > length]
+
+        frames: List[EncodedFrame] = []
+        if full:
+            S = len(full)
+            idx = np.asarray(full)[:, None] + np.arange(segment_length)[None, :]
+            windows = x[:, :, idx]                       # [B, C, S, L]
+            windows = jnp.transpose(windows, (0, 2, 1, 3)) \
+                .reshape(B * S, channels, segment_length)
+            codes, scale = self._encode_frame(variables, windows)
+            codes = codes.reshape(B, S, *codes.shape[1:])   # [B, S, K, Tc]
+            if scale is not None:
+                scale = scale.reshape(B, S, *scale.shape[1:])
+            for s in range(S):
+                frames.append((codes[:, s],
+                               scale[:, s] if scale is not None else None))
+        for o in tail:   # ragged tail: shorter window, own (exact) subgraph
+            frames.append(self._encode_frame(
+                variables, x[:, :, o: o + segment_length]))
+        return frames
+
+    def decode_segmajor(self, variables,
+                        encoded_frames: List[EncodedFrame]) -> jnp.ndarray:
+        """Same contract as :meth:`decode`, with every run of equal-length
+        frames decoded in ONE batched ``_decode_frame`` call (see
+        :meth:`encode_segmajor`). Frame order is preserved for the
+        triangular overlap-add."""
+        segment_length = self.segment_length
+        if segment_length is None:
+            return self.decode(variables, encoded_frames)
+        decoded: List[Optional[jnp.ndarray]] = [None] * len(encoded_frames)
+        # group by static codes length (full segments share one; ragged
+        # tails get their own group)
+        groups: Dict[int, List[int]] = {}
+        for i, (codes, _) in enumerate(encoded_frames):
+            groups.setdefault(int(codes.shape[-1]), []).append(i)
+        for tc, members in groups.items():
+            if len(members) == 1:
+                decoded[members[0]] = self._decode_frame(
+                    variables, encoded_frames[members[0]])
+                continue
+            codes = jnp.concatenate(
+                [encoded_frames[i][0] for i in members], axis=0)
+            scale = encoded_frames[members[0]][1]
+            if scale is not None:
+                scale = jnp.concatenate(
+                    [encoded_frames[i][1] for i in members], axis=0)
+            out = self._decode_frame(variables, (codes, scale))
+            # split group-major: [G·B, C, L] → [G, B, C, L] (reshape, not
+            # slicing — works under jax.export's symbolic batch dim too)
+            out = out.reshape(len(members), -1, *out.shape[1:])
+            for j, i in enumerate(members):
+                decoded[i] = out[j]
+        return linear_overlap_add(decoded, self.segment_stride or 1)
+
     def _decode_frame(self, variables, encoded_frame: EncodedFrame) -> jnp.ndarray:
         codes, scale = encoded_frame
         emb = self._rvq_decode(variables['quantizer'],
