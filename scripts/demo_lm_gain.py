@@ -55,6 +55,11 @@ def main(argv=None):
                         'trained-on-trained −20.1%% speech number '
                         '(PERF_NOTES)')
     p.add_argument('--bandwidth', type=float, default=3.0)
+    p.add_argument('--override', action='append', default=[],
+                   help='config dot-path override for --codec-ckpt loading '
+                        '(repeatable) — must mirror the training overrides '
+                        'that change the checkpoint structure, e.g. '
+                        "--override 'model.disc_n_ffts=[2048,1024,512,256,128]'")
     p.add_argument('--speech-dir', default='',
                    help='root of a make_speech_set.py output: train on '
                         'random crops of <dir>/train/*.wav and evaluate on '
@@ -80,7 +85,7 @@ def main(argv=None):
         from encodec_pytorch_tpu.train.step import init_train_state
         from encodec_pytorch_tpu.train.trainer import (
             build_disc_from_config, build_model_from_config)
-        config = load_config('config', [])
+        config = load_config('config', list(args.override))
         model = build_model_from_config(config)
         template = init_train_state(
             model, build_disc_from_config(config),

@@ -74,6 +74,20 @@ def augment(clip: np.ndarray, rng: np.random.RandomState,
     return out.astype(np.float32)
 
 
+def stereoize(mono: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+    """[T] → [2, T]: constant-power pan + a small interchannel delay (≤1 ms)
+    — decorrelates the channels enough that stereo training is not just
+    dual-mono, while keeping both channels the same utterance (the 48 kHz
+    reference flavor trains on stereo music/speech,
+    reference model.py:311-329)."""
+    pan = rng.uniform(-0.5, 0.5)                     # -1 left … +1 right
+    gl, gr = np.cos((pan + 1) * np.pi / 4), np.sin((pan + 1) * np.pi / 4)
+    delay = rng.randint(0, 49)                       # samples @48k (≤1 ms)
+    left = mono * gl
+    right = np.roll(mono, delay) * gr
+    return np.stack([left, right]).astype(np.float32)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument('--out', required=True)
@@ -81,12 +95,20 @@ def main(argv=None):
     p.add_argument('--n-test', type=int, default=12)
     p.add_argument('--seconds', type=float, default=4.0)
     p.add_argument('--source', default=SOURCE)
+    p.add_argument('--sample-rate', type=int, default=24_000,
+                   choices=(24_000, 48_000),
+                   help='48000 resamples the augmented clips (polyphase 2x)')
+    p.add_argument('--stereo', action='store_true',
+                   help='write 2-channel clips (pan + ≤1 ms interchannel '
+                        'delay) for the 48 kHz stereo family')
     args = p.parse_args(argv)
+
+    from scipy.signal import resample_poly
 
     from encodec_pytorch_tpu.data.audio_io import write_wav
 
     clip = load_source(args.source)
-    n_samples = int(args.seconds * 24_000)
+    n_samples24 = int(args.seconds * 24_000)
     out = Path(args.out)
     csvs = {}
     for split, n, seed in (('train', args.n_train, 0),
@@ -96,14 +118,23 @@ def main(argv=None):
         d.mkdir(parents=True, exist_ok=True)
         paths = []
         for i in range(n):
-            w = augment(clip, rng, n_samples)
+            # the 24 kHz augmentation stream is IDENTICAL regardless of
+            # output format: the 48 kHz sets are resampled/stereoized views
+            # of the same clip family, so quality numbers stay anchored on
+            # the same material
+            w = augment(clip, rng, n_samples24)
+            if args.sample_rate == 48_000:
+                w = resample_poly(w, 2, 1).astype(np.float32)
+            w = stereoize(w, rng) if args.stereo else w[None]
             path = d / f'speech_{split}_{i:03d}.wav'
-            write_wav(path, w[None], 24_000)
+            write_wav(path, w, args.sample_rate)
             paths.append(str(path))
         csv = out / f'{split}.csv'
         csv.write_text('\n'.join(paths) + '\n')
         csvs[split] = csv
-        print(f'{split}: {n} clips x {args.seconds:.1f}s -> {d} ({csv})')
+        print(f'{split}: {n} clips x {args.seconds:.1f}s '
+              f'@{args.sample_rate} {"stereo" if args.stereo else "mono"} '
+              f'-> {d} ({csv})')
     return csvs
 
 
