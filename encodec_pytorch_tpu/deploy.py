@@ -156,6 +156,13 @@ def export_entries(model, variables,
                 jax.ShapeDtypeStruct((1, model.channels, length),
                                      jnp.float32)))
             frame_tfs = [int(a.shape[-1]) for a in out_shapes[:n_frames]]
+            # codes' K from the ACTUAL encode output, not the bandwidth
+            # policy: num_quantizers_for_bandwidth is reference-faithfully
+            # unclamped (vq.py:101-108) and the encoder clamps by slicing
+            # (layers[:n_q] there, state[:n_q] here) — a decode spec built
+            # from the unclamped value desyncs from real streams when a
+            # model's total n_q is below the bandwidth-implied count
+            n_q = int(out_shapes[0].shape[1])
             common = {'bandwidth': bw, 'length': length, 'n_q': int(n_q),
                       'n_frames': n_frames, 'frame_tfs': frame_tfs,
                       'normalize': model.normalize}

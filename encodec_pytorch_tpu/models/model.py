@@ -257,9 +257,11 @@ class EncodecModel:
                 scale = jnp.concatenate(
                     [encoded_frames[i][1] for i in members], axis=0)
             out = self._decode_frame(variables, (codes, scale))
-            # split group-major: [G·B, C, L] → [G, B, C, L] (reshape, not
-            # slicing — works under jax.export's symbolic batch dim too)
-            out = out.reshape(len(members), -1, *out.shape[1:])
+            # split group-major: [G·B, C, L] → [G, B, C, L]. Use the frame's
+            # own (possibly symbolic) batch dim — a -1 here fails to infer
+            # under jax.export's symbolic batch
+            B = encoded_frames[members[0]][0].shape[0]
+            out = out.reshape(len(members), B, *out.shape[1:])
             for j, i in enumerate(members):
                 decoded[i] = out[j]
         return linear_overlap_add(decoded, self.segment_stride or 1)

@@ -45,6 +45,12 @@ def main():
                    choices=['raw', 'fold', 'int8'],
                    help='serving prep (prepare.py): fold weight norm, or '
                         'fold + int8 weight-only quantization')
+    p.add_argument('--segmajor', default='auto',
+                   choices=['auto', 'on', 'off'],
+                   help='segment-major batching for segmented models '
+                        '(deploy._roundtrip_fn; auto = on for segmented '
+                        'models, the serving default). off = the per-frame '
+                        'reference-shaped loop, for A/B measurement')
     args = p.parse_args()
 
     from encodec_pytorch_tpu.models.model import EncodecModel
@@ -79,6 +85,9 @@ def main():
         model, variables = prepare_for_inference(model, variables,
                                                  weights=args.weights)
 
+    from encodec_pytorch_tpu.deploy import _roundtrip_fn
+    segmajor = {'auto': None, 'on': True, 'off': False}[args.segmajor]
+
     overhead = measure_dispatch_overhead()
     print(f'dispatch overhead: {overhead * 1e3:.1f} ms')
     for b in args.batches:
@@ -89,10 +98,10 @@ def main():
             def body(x, _, _m=model, _v=variables):
                 vars_ = dict(_v, params=dequantize_weights(_v['params'],
                                                            dt_w))
-                return _m(vars_, x), None
+                return _roundtrip_fn(_m, vars_, segmajor=segmajor)(x), None
         else:
             def body(x, _, _m=model, _v=variables):
-                return _m(_v, x), None
+                return _roundtrip_fn(_m, _v, segmajor=segmajor)(x), None
 
         @jax.jit
         def chained(x):

@@ -105,7 +105,7 @@ def test_segmajor_deploy_export_roundtrip(tmp_path):
     path = tmp_path / 'seg.codec'
     save_artifact(str(path), model, variables, lengths=[length],
                   bandwidths=[3.], platforms=('cpu',))
-    dep = DeployedCodec(str(path))
+    dep = DeployedCodec.load(str(path))
     wav = np.asarray(jax.random.normal(jax.random.PRNGKey(5),
                                        (2, 1, length))) * 0.3
     out = np.asarray(dep.roundtrip(wav, bandwidth=3.))
