@@ -128,6 +128,14 @@ class LMTrainer:
         self.state = init_lm_state(self.lm, jax.random.PRNGKey(0))
         self._step = jax.jit(build_lm_train_step(self.lm, self.schedule),
                              donate_argnums=(0,))
+        # codec encode compiled ONCE (per wav-batch shape, which is fixed
+        # across a training run). The previous eager per-op dispatch of the
+        # full encoder every step churned one remote buffer per primitive
+        # through the device relay and was observed leaking host RSS until
+        # the OOM killer fired ~3000 steps into a run (round 5); one jitted
+        # program per shape also removes thousands of per-step dispatches.
+        self._encode = jax.jit(
+            lambda wav: self.codec.encode(self.codec_variables, wav))
 
     def codes_for(self, wav_batch: np.ndarray) -> jnp.ndarray:
         """[B, C, T] wav → [F·B, K, Tf] codes. Segmented codecs yield one
@@ -135,8 +143,7 @@ class LMTrainer:
         overlap, so concatenating them along time would stitch together
         audio the LM never sees contiguously at compress time). The last
         (ragged) frame is dropped only if its length differs."""
-        frames = self.codec.encode(self.codec_variables,
-                                   jnp.asarray(wav_batch))
+        frames = self._encode(jnp.asarray(wav_batch))
         tf0 = frames[0][0].shape[-1]
         codes = [c for c, _ in frames if c.shape[-1] == tf0]
         if len(codes) < len(frames):

@@ -24,6 +24,14 @@ def test_compile_cache_populates(tmp_path):
         assert entries, 'compilation cache directory stayed empty'
     finally:
         jax.config.update('jax_compilation_cache_dir', None)
+        # the config flag alone doesn't retire the initialized cache
+        # SINGLETON: without this reset every later compile in the pytest
+        # session keeps writing executables into this (pytest-temporary)
+        # directory — observed as a segfault inside
+        # compilation_cache.put_executable_and_time's zstd write several
+        # hundred tests later
+        from jax._src import compilation_cache as _cc
+        _cc.reset_cache()
 
 
 def test_enable_compile_cache_noop_on_empty():
