@@ -62,6 +62,7 @@ def main(argv=None):
     n = int(args.seconds * sr)
     out = Path(args.out)
     seed = 0
+    test_scenes = []
     for folders in (TRAIN_FOLDERS, TEST_FOLDERS):
         for folder in folders:
             rng = np.random.RandomState(1000 + seed)
@@ -73,8 +74,22 @@ def main(argv=None):
             d = out / folder
             d.mkdir(parents=True, exist_ok=True)
             write_wav(d / 'scene_000.wav', wav, sr)
+            if folder in TEST_FOLDERS:
+                test_scenes.append(wav)
             print(f'{folder}: {wav.shape} @ {sr}')
-    print(f'tree at {out}')
+    # deterministic mono 1-s extracts of the TEST scenes, for the held-out
+    # quality table (eval_checkpoint_quality --wav-dir <out>/eval_mono) —
+    # same channel/start pattern idea as the reference's fixed validation
+    # segments (multi_channel_dataset.py:61-87)
+    d = out / 'eval_mono'
+    d.mkdir(parents=True, exist_ok=True)
+    for i in range(12):
+        scene = test_scenes[i % len(test_scenes)]
+        ch = i % scene.shape[0]
+        start = (i * 11 * sr) % (scene.shape[1] - sr)
+        write_wav(d / f'eval_{i:03d}.wav', scene[ch:ch + 1, start:start + sr],
+                  sr)
+    print(f'tree at {out} (+ {d} mono eval extracts)')
 
 
 if __name__ == '__main__':
